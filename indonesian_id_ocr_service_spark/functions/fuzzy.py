@@ -1,0 +1,217 @@
+"""Fuzzy string scorers (pure Python, rapidfuzz/thefuzz-compatible).
+
+The reference pipeline leans on ``thefuzz`` (``fuzz.ratio``,
+``fuzz.partial_ratio``, ``fuzz.token_set_ratio``, ``fuzz.WRatio`` via
+``process.extractOne``) — see e.g. /root/reference/ktp_extractor.py:256-257,
+290-291, 97; /root/reference/ocr_corrector.py:392-393, 463-464.
+``thefuzz``/``rapidfuzz`` are not available in this environment, so this
+module provides a self-contained implementation of the same scorer family:
+
+- similarity base = normalized InDel distance (Levenshtein with
+  substitution cost 2), the metric behind ``Levenshtein.ratio`` /
+  rapidfuzz's ``fuzz.ratio``;
+- ``partial_ratio`` uses the classic matching-blocks window search;
+- token variants apply thefuzz's ``full_process`` (lowercase, strip
+  non-alphanumeric) before comparing.
+
+These functions run *inside* Arrow-batched pandas UDFs only — never as
+row-at-a-time Spark UDFs — and only on the minority tier of rows that the
+exact (JVM broadcast-join) tiers could not resolve.  At 100 TB scale the
+exact tiers resolve the bulk of rows JVM-side; this Python fallback sees a
+small residue per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+from functools import lru_cache
+
+__all__ = [
+    "full_process",
+    "indel_distance",
+    "ratio",
+    "partial_ratio",
+    "token_sort_ratio",
+    "token_set_ratio",
+    "wratio",
+    "extract_one",
+]
+
+_NON_ALNUM = re.compile(r"(?ui)\W")
+
+
+def full_process(s: str | None) -> str:
+    """thefuzz's default preprocessor: non-alphanumeric → space, lower, trim."""
+    if s is None:
+        return ""
+    return _NON_ALNUM.sub(" ", str(s)).lower().strip()
+
+
+def indel_distance(a: str, b: str) -> int:
+    """InDel distance = Levenshtein with substitutions forbidden (cost 2).
+
+    Equals ``len(a) + len(b) - 2 * LCS(a, b)``.  Implemented as the
+    classic two-row DP over the LCS recurrence.
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    if la < lb:  # keep inner loop over the longer string
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur.append(prev[j - 1])
+            else:
+                cur.append(1 + min(prev[j], cur[-1]))
+        prev = cur
+    return prev[lb]
+
+
+def ratio(a: str | None, b: str | None) -> int:
+    """Normalized InDel similarity on 0–100, rounded to int (fuzz.ratio)."""
+    a = "" if a is None else str(a)
+    b = "" if b is None else str(b)
+    total = len(a) + len(b)
+    if total == 0:
+        return 0
+    return int(round(100.0 * (total - indel_distance(a, b)) / total))
+
+
+def _ratio_f(a: str, b: str) -> float:
+    """Unrounded 0–100 similarity, for internal max-comparisons."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 0.0
+    return 100.0 * (total - indel_distance(a, b)) / total
+
+
+def partial_ratio(a: str | None, b: str | None) -> int:
+    """Best InDel ratio between the shorter string and any same-length
+    window of the longer, window starts seeded by SequenceMatcher
+    matching blocks (the classic fuzzywuzzy algorithm)."""
+    a = "" if a is None else str(a)
+    b = "" if b is None else str(b)
+    if not a or not b:
+        return 0
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    if shorter == longer:
+        return 100
+    m = SequenceMatcher(None, shorter, longer, autojunk=False)
+    best = 0.0
+    for block in m.get_matching_blocks():
+        start = max(block.b - block.a, 0)
+        window = longer[start:start + len(shorter)]
+        score = _ratio_f(shorter, window)
+        if score > 99.5:
+            return 100
+        if score > best:
+            best = score
+    return int(round(best))
+
+
+def _sorted_tokens(s: str) -> list[str]:
+    return sorted(full_process(s).split())
+
+
+def token_sort_ratio(a: str | None, b: str | None) -> int:
+    """Ratio of the space-joined sorted token lists (fuzz.token_sort_ratio)."""
+    return ratio(" ".join(_sorted_tokens(a or "")), " ".join(_sorted_tokens(b or "")))
+
+
+def token_set_ratio(a: str | None, b: str | None) -> int:
+    """fuzz.token_set_ratio: compare intersection-anchored token strings."""
+    ta = set(_sorted_tokens(a or ""))
+    tb = set(_sorted_tokens(b or ""))
+    if not ta and not tb:
+        return 0
+    inter = " ".join(sorted(ta & tb))
+    sect_a = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sect_b = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(
+        ratio(inter, sect_a),
+        ratio(inter, sect_b),
+        ratio(sect_a, sect_b),
+    )
+
+
+def _partial_token_sort_ratio(a: str, b: str) -> int:
+    return partial_ratio(" ".join(_sorted_tokens(a)), " ".join(_sorted_tokens(b)))
+
+
+def _partial_token_set_ratio(a: str, b: str) -> int:
+    ta = set(_sorted_tokens(a))
+    tb = set(_sorted_tokens(b))
+    if not ta and not tb:
+        return 0
+    inter = " ".join(sorted(ta & tb))
+    sect_a = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sect_b = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(
+        partial_ratio(inter, sect_a),
+        partial_ratio(inter, sect_b),
+        partial_ratio(sect_a, sect_b),
+    )
+
+
+def wratio(a: str | None, b: str | None) -> int:
+    """fuzz.WRatio — thefuzz's default scorer for ``process.extractOne``.
+
+    Weighted combination: plain ratio vs. 0.95-scaled token ratios; when
+    string lengths differ by ≥1.5×, partial variants scaled by 0.9
+    (length ratio < 8) or 0.6.
+    """
+    p1, p2 = full_process(a), full_process(b)
+    if not p1 or not p2:
+        return 0
+    base = _ratio_f(p1, p2)
+    len_ratio = max(len(p1), len(p2)) / min(len(p1), len(p2))
+    unbase_scale = 0.95
+    if len_ratio < 1.5:
+        tsr = token_sort_ratio(p1, p2) * unbase_scale
+        tse = token_set_ratio(p1, p2) * unbase_scale
+        return int(round(max(base, tsr, tse)))
+    partial_scale = 0.90 if len_ratio < 8 else 0.60
+    pr = partial_ratio(p1, p2) * partial_scale
+    ptsr = _partial_token_sort_ratio(p1, p2) * unbase_scale * partial_scale
+    ptse = _partial_token_set_ratio(p1, p2) * unbase_scale * partial_scale
+    return int(round(max(base, pr, ptsr, ptse)))
+
+
+def extract_one(query: str | None, choices, scorer=wratio, process_inputs=True):
+    """thefuzz's ``process.extractOne``: best (choice, score) by scorer.
+
+    Applies ``full_process`` to both sides by default (as thefuzz does even
+    when a custom scorer is passed).  Ties keep the earliest choice.
+    Returns (None, 0) for an empty/unprocessable query or empty choices.
+    """
+    if query is None:
+        return None, 0
+    q = full_process(query) if process_inputs else str(query)
+    if not q:
+        return None, 0
+    best_choice, best_score = None, -1
+    for choice in choices:
+        c = full_process(choice) if process_inputs else str(choice)
+        if not c:
+            continue
+        s = scorer(q, c)
+        if s > best_score:
+            best_choice, best_score = choice, s
+    if best_choice is None:
+        return None, 0
+    return best_choice, best_score
+
+
+@lru_cache(maxsize=65536)
+def cached_extract_one_wratio(query: str, choices: tuple) -> tuple:
+    """Memoized extract_one for hot dictionary loops inside pandas UDFs —
+    OCR vocabularies repeat heavily within a batch, so the cache hit rate
+    is high and keeps the Python tier cheap."""
+    return extract_one(query, choices, scorer=wratio)

@@ -538,6 +538,13 @@ def normalize_pekerjaan(value: str) -> str:
     return norm if norm in PEKERJAAN_CANONICAL else v
 
 
+def normalize_pekerjaan_sim(value: str) -> str:
+    """SIM-path occupation normalization: exact alias tier then
+    token_set_ratio ≥ 72 (sim_extractor.py:156-179) — the canonical-map
+    pass without the KTP regex pre-fixes."""
+    return fuzzy_normalize_field(value, PEKERJAAN_CANONICAL, threshold=72)
+
+
 def normalize_kewarganegaraan(value: str) -> str:
     norm = fuzzy_normalize_field(value, KEWARGANEGARAAN_CANONICAL,
                                  threshold=80)

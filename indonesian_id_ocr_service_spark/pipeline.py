@@ -1,0 +1,135 @@
+"""End-to-end extraction pipeline: span corpus → extracted span table.
+
+Plan shape (SURVEY §7):
+
+    scan (doc_id, spans[, span_geom])
+      → C1 classify (JVM expression over the packed array)
+      → KTP rows:  mapInPandas spatial extraction (zero shuffle — the
+                   input is already one row per document)
+                   → JVM cleanup/repair/cross-validate/format
+                   → span assembly
+      → SIM rows:  SIM extraction path (operators.sim_extract)
+      → UNKNOWN:   error span + media pass-through
+      → unionByName
+
+The only Python stages are the per-document geometric extractors and the
+narrow fuzzy residue tiers; everything else is whole-stage-codegen JVM.
+No joins, no aggregations — the pipeline is embarrassingly parallel over
+documents, so throughput scales linearly with cores (the scaling-
+efficiency criterion in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import classify, ktp_post
+from .operators.ktp_spatial import KTP_EXTRACT_SCHEMA, extract_ktp_batch
+
+OUT_SCHEMA = ktp_post.OUT_SPAN_TYPE
+
+
+def with_default_geometry(df: DataFrame) -> DataFrame:
+    """Synthesize line geometry from span order when the corpus carries
+    none: each text span is its own line (y = offset·30), x from 0.
+    Keeps the spatial operators well-defined on geometry-free corpora."""
+    if "span_geom" in df.columns:
+        return df
+    geom = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            (s["offset"] * 30).cast("int").alias("y"),
+            F.lit(0).cast("int").alias("x0"),
+            (F.length(F.coalesce(s["text"], F.lit(""))) * 9)
+            .cast("int").alias("x1"),
+            F.lit(22).cast("int").alias("h"),
+        ),
+    )
+    return df.withColumn("span_geom", geom)
+
+
+def classify_documents(df: DataFrame) -> DataFrame:
+    return df.withColumn("doc_type",
+                         classify.document_type(F.col("spans")))
+
+
+def media_refs_col() -> F.Column:
+    return F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+        lambda s: s["media_ref"],
+    )
+
+
+def run_ktp_branch(ktp: DataFrame) -> DataFrame:
+    """KTP rows → (doc_id, out_spans, flat output fields)."""
+    extracted = ktp.select("doc_id", "spans", "span_geom").mapInPandas(
+        extract_ktp_batch, schema=KTP_EXTRACT_SCHEMA
+    )
+    cleaned = ktp_post.apply_cleanup(extracted)
+    repaired = ktp_post.apply_repair(cleaned)
+    validated = ktp_post.apply_crossval(repaired)
+    formatted = ktp_post.apply_format(validated)
+    return ktp_post.assemble_spans(formatted)
+
+
+def run_unknown_branch(unk: DataFrame) -> DataFrame:
+    """UNKNOWN rows → single error span + media pass-through."""
+    error_span = F.struct(
+        F.lit("error").alias("kind"),
+        F.lit("Unknown document type").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("order"),
+    )
+    out = F.concat(
+        F.array(error_span),
+        F.transform(
+            media_refs_col(),
+            lambda m, i: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                m.alias("media_ref"),
+                (i + 1).cast("int").alias("order"),
+            ),
+        ),
+    )
+    return unk.select(
+        "doc_id", out.cast(ktp_post.OUT_SPAN_TYPE).alias("out_spans")
+    )
+
+
+def run_pipeline(df: DataFrame, include_sim: bool = True) -> DataFrame:
+    """Full pipeline → (doc_id, out_spans). Branches are filters over the
+    same classified frame; Spark executes them as independent narrow
+    chains unioned at the end."""
+    src = classify_documents(with_default_geometry(df))
+
+    ktp_out = run_ktp_branch(src.filter(F.col("doc_type") == "KTP")).select(
+        "doc_id", "out_spans"
+    )
+    unk = src.filter(
+        F.col("doc_type") == "UNKNOWN"
+        if include_sim
+        else F.col("doc_type").isin("UNKNOWN", "SIM")
+    )
+    unk_out = run_unknown_branch(unk)
+
+    parts = [ktp_out, unk_out]
+    if include_sim:
+        from .operators import sim_extract
+
+        sim_out = sim_extract.run_sim_branch(
+            src.filter(F.col("doc_type") == "SIM")
+        ).select("doc_id", "out_spans")
+        parts.append(sim_out)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_pipeline_fields(df: DataFrame) -> DataFrame:
+    """KTP branch only, returning the flat output-field columns (for the
+    metrics table and SQL-checkable queries)."""
+    src = classify_documents(with_default_geometry(df))
+    return run_ktp_branch(src.filter(F.col("doc_type") == "KTP"))

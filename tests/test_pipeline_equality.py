@@ -1,0 +1,70 @@
+"""THE correctness gate: per-document span-sequence equality
+(kind, text, media_ref, order) between the Spark pipeline and the
+pure-Python oracle on the synthetic corpus (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from indonesian_id_ocr_service_spark.corpus.generator import (
+    doc_rows,
+    generate_doc,
+)
+from indonesian_id_ocr_service_spark.oracle import ktp as ktp_oracle
+from indonesian_id_ocr_service_spark.pipeline import run_pipeline
+
+N_DOCS = 160
+
+
+def _oracle_spans(i: int, fractions):
+    d = generate_doc(i, fractions=fractions)
+    spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
+             for k, t, m, o in d.spans]
+    geom = [{"y": y, "x0": x0, "x1": x1, "h": h}
+            for y, x0, x1, h in d.geom]
+    return d.doc_id, ktp_oracle.process_document(d.doc_id, spans, geom)
+
+
+def _run_equality(spark, fractions, n_docs=N_DOCS, include_sim=False):
+    rows = list(doc_rows(n_docs, fractions=fractions))
+    df = spark.createDataFrame(
+        rows, "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>, "
+        "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in sorted(r["out_spans"], key=lambda s: s["order"])
+        ]
+        for r in run_pipeline(df, include_sim=include_sim).collect()
+    }
+    n_bad = 0
+    for i in range(n_docs):
+        doc_id, expected = _oracle_spans(i, fractions)
+        exp = [(s["kind"], s["text"], s["media_ref"], s["order"])
+               for s in expected]
+        if got.get(doc_id) != exp:
+            n_bad += 1
+            if n_bad <= 3:
+                print(f"\n== MISMATCH {doc_id} ==")
+                g = got.get(doc_id) or []
+                for a, b in zip(exp, g):
+                    flag = "  " if a == b else "->"
+                    print(f" {flag} oracle={a}\n    spark ={b}")
+                for extra in exp[len(g):]:
+                    print(f" ++ oracle-only: {extra}")
+                for extra in g[len(exp):]:
+                    print(f" ++ spark-only : {extra}")
+    assert n_bad == 0, f"{n_bad}/{n_docs} documents mismatched"
+
+
+def test_ktp_span_equality(spark):
+    """KTP + UNKNOWN mix (SIM branch exercised separately)."""
+    _run_equality(spark, fractions=(0.9, 0.0, 0.1))
+
+
+def test_full_mix_span_equality(spark):
+    """Full corpus mix incl. the SIM branch (FIXTURES.md fractions)."""
+    _run_equality(spark, fractions=(0.6, 0.3, 0.1), include_sim=True)

@@ -1,0 +1,775 @@
+"""Driver-contract queries: each SURVEY §2 operator exposed as a
+(Spark callable, DuckDB oracle SQL) pair over /root/testdata.
+
+Inputs are synthesized DETERMINISTICALLY from the testdata tables with
+arithmetic both engines compute identically (printf/format_string,
+modulo, translate), so the value-hash comparison is exact. Every
+computed column is aliased identically on both sides.
+
+Float outputs are rounded to 6 dp on both sides to keep hashes stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dictionaries import (
+    TO_DIGIT_DST,
+    TO_DIGIT_SRC,
+    VALID_PROVINCE_CODES,
+)
+from .functions import chars as CH
+from .functions import dates as DT
+from .functions import fields as FX
+from .functions import nik as NK
+from .operators import classify
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: deterministic 16-digit NIK synthesized from an integer key — written
+#: identically in Spark (format_string) and DuckDB (printf)
+_NIK_SQL = (
+    "printf('%02d%02d%02d%02d%02d%02d%04d', "
+    "11 + ({k} % 84), 1 + ({k} % 99), ({k} % 100), "
+    "({k} % 75), ({k} % 14), ({k} % 100), ({k} % 10000))"
+)
+
+_PROV_IN = ",".join(str(p) for p in sorted(VALID_PROVINCE_CODES))
+
+
+def _nik_col(k: str) -> F.Column:
+    kc = F.col(k)
+    return F.format_string(
+        "%02d%02d%02d%02d%02d%02d%04d",
+        F.lit(11) + kc % 84, F.lit(1) + kc % 99, kc % 100,
+        kc % 75, kc % 14, kc % 100, kc % 10000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1: char substitution letters→digits  (translate, exact builtin)
+# ---------------------------------------------------------------------------
+
+
+def q_char_sub_to_digit(spark, sf_dir):
+    """Noisy digits (every digit OCR'd as a letter) → repaired digits."""
+    df = _read(spark, sf_dir, "orders")
+    noisy = F.translate(_nik_col("o_orderkey"), "0123456789", "OIZEASGTBg")
+    return df.select(
+        F.col("o_orderkey").alias("k"),
+        noisy.alias("raw"),
+        CH.sub_to_digit(noisy).alias("repaired"),
+    )
+
+
+SQL_CHAR_SUB_TO_DIGIT = f"""
+SELECT o_orderkey AS k,
+       translate({_NIK_SQL.format(k='o_orderkey')},
+                 '0123456789', 'OIZEASGTBg') AS raw,
+       translate(translate({_NIK_SQL.format(k='o_orderkey')},
+                           '0123456789', 'OIZEASGTBg'),
+                 '{TO_DIGIT_SRC.replace("'", "''")}',
+                 '{TO_DIGIT_DST}') AS repaired
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# N10: NIK structural validation
+# ---------------------------------------------------------------------------
+
+
+def q_nik_structural(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    nik = _nik_col("o_orderkey")
+    return df.select(
+        nik.alias("nik"),
+        F.round(NK.structural_score(nik), 6).alias("structural_score"),
+    )
+
+
+SQL_NIK_STRUCTURAL = f"""
+WITH t AS (SELECT {_NIK_SQL.format(k='o_orderkey')} AS nik FROM orders)
+SELECT nik,
+  round(
+    (CASE WHEN CAST(substr(nik,1,2) AS INT) IN ({_PROV_IN}) THEN 1.0
+          WHEN CAST(substr(nik,1,2) AS INT) < 11
+            OR CAST(substr(nik,1,2) AS INT) > 94 THEN 0.40
+          ELSE 0.85 END)
+  * (CASE WHEN CAST(substr(nik,5,2) AS INT) = 0 THEN 0.70 ELSE 1.0 END)
+  * (CASE WHEN CAST(substr(nik,7,2) AS INT) = 0 THEN 0.0
+          WHEN CAST(substr(nik,7,2) AS INT) BETWEEN 1 AND 31 THEN 1.0
+          WHEN CAST(substr(nik,7,2) AS INT) BETWEEN 41 AND 71 THEN 1.0
+          ELSE 0.10 END)
+  * (CASE WHEN CAST(substr(nik,9,2) AS INT) < 1
+            OR CAST(substr(nik,9,2) AS INT) > 12 THEN 0.0 ELSE 1.0 END)
+  * (CASE WHEN CAST(substr(nik,13,4) AS INT) = 0 THEN 0.50 ELSE 1.0 END),
+  6) AS structural_score
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# N5: clean_nik — 16-digit extraction with substitution
+# ---------------------------------------------------------------------------
+
+
+def q_clean_nik(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    raw = F.concat(F.lit("NIK : "),
+                   F.translate(_nik_col("o_orderkey"), "018", "OIB"))
+    return df.select(raw.alias("raw"), NK.clean_nik(raw).alias("nik16"))
+
+
+SQL_CLEAN_NIK = f"""
+WITH t AS (
+  SELECT 'NIK : ' || translate({_NIK_SQL.format(k='o_orderkey')},
+                               '018', 'OIB') AS raw
+  FROM orders
+), s AS (
+  SELECT raw,
+         regexp_replace(
+           translate(raw, '{TO_DIGIT_SRC.replace("'", "''")}',
+                     '{TO_DIGIT_DST}'),
+           '\\D', '', 'g') AS digits,
+         replace(translate(raw, '{TO_DIGIT_SRC.replace("'", "''")}',
+                           '{TO_DIGIT_DST}'), ' ', '') AS despaced
+  FROM t
+)
+SELECT raw,
+       CASE WHEN length(digits) = 16 THEN digits
+            WHEN length(digits) > 16 THEN
+              nullif(regexp_extract(despaced, '\\d{{16}}', 0), '')
+            ELSE NULL END AS nik16
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# N14: date strategy 1 — standard patterns (separator collapse)
+# ---------------------------------------------------------------------------
+
+
+def _date_str(col: str = "o_orderdate") -> F.Column:
+    return F.date_format(F.col(col), "dd-MM-yyyy")
+
+
+def q_date_standard(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    raw = F.replace(_date_str(), F.lit("-"), F.lit(" "))
+    d = DT.normalize_date(raw)
+    return df.select(
+        raw.alias("raw"),
+        d["normalized"].alias("normalized"),
+        F.round(d["confidence"], 6).alias("confidence"),
+        d["method"].alias("method"),
+    )
+
+
+SQL_DATE_STANDARD = """
+WITH t AS (
+  SELECT replace(strftime(o_orderdate, '%d-%m-%Y'), '-', ' ') AS raw
+  FROM orders
+), c AS (
+  SELECT raw,
+         regexp_replace(regexp_replace(raw, '[-/. ]{2,}', '-', 'g'),
+                        '[-/. ]', '-', 'g') AS clean
+  FROM t
+), p AS (
+  SELECT raw,
+         CAST(regexp_extract(trim(clean),
+              '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$', 1) AS INT) AS d,
+         CAST(regexp_extract(trim(clean),
+              '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$', 2) AS INT) AS m,
+         CAST(regexp_extract(trim(clean),
+              '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$', 3) AS INT) AS y
+  FROM c
+)
+SELECT raw,
+       printf('%02d-%02d-%04d', d, m, y) AS normalized,
+       round(0.97, 6) AS confidence,
+       'strict_dd_mm_yyyy' AS method
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# N16: date strategy 3 — 3-digit-year reconstruction
+# ---------------------------------------------------------------------------
+
+
+def q_date_3digit_year(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    # 'DD-MM-99X' shapes: drop the first year digit → 992..998 → 19xx
+    raw = F.concat(F.substring(_date_str(), 1, 6),
+                   F.substring(_date_str(), 8, 3))
+    d = DT.normalize_date(raw)
+    return df.select(
+        raw.alias("raw"),
+        d["normalized"].alias("normalized"),
+        F.round(d["confidence"], 6).alias("confidence"),
+        d["method"].alias("method"),
+    )
+
+
+SQL_DATE_3DIGIT = """
+WITH t AS (
+  SELECT substr(strftime(o_orderdate, '%d-%m-%Y'), 1, 6)
+         || substr(strftime(o_orderdate, '%d-%m-%Y'), 8, 3) AS raw
+  FROM orders
+), p AS (
+  SELECT raw,
+         CAST(regexp_extract(trim(raw),
+              '(\\d{1,2})-(\\d{1,2})-(\\d{3})$', 1) AS INT) AS d,
+         CAST(regexp_extract(trim(raw),
+              '(\\d{1,2})-(\\d{1,2})-(\\d{3})$', 2) AS INT) AS m,
+         regexp_extract(trim(raw),
+              '(\\d{1,2})-(\\d{1,2})-(\\d{3})$', 3) AS y3
+  FROM t
+), y AS (
+  SELECT raw, d, m,
+         CASE WHEN CAST(y3 AS INT) BETWEEN 900 AND 999
+              THEN CAST('1' || y3 AS INT) END AS yr
+  FROM p
+)
+SELECT raw,
+       printf('%02d-%02d-%04d', d, m, yr) AS normalized,
+       round(0.75, 6) AS confidence,
+       '3digit_year_recon' AS method
+FROM y
+"""
+
+
+# ---------------------------------------------------------------------------
+# N21: year repair — generate-and-test, priority (pos asc, digit asc)
+# ---------------------------------------------------------------------------
+
+
+def q_year_repair(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    # misread century: 1992 → 1392 etc.
+    raw = F.replace(_date_str(), F.lit("-19"), F.lit("-13"))
+    d = DT.normalize_date(raw)
+    return df.select(
+        raw.alias("raw"),
+        d["normalized"].alias("normalized"),
+        F.round(d["confidence"], 6).alias("confidence"),
+        d["method"].alias("method"),
+    )
+
+
+SQL_YEAR_REPAIR = """
+WITH t AS (
+  SELECT replace(strftime(o_orderdate, '%d-%m-%Y'), '-19', '-13') AS raw
+  FROM orders
+), p AS (
+  SELECT raw,
+         CAST(regexp_extract(trim(raw),
+              '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$', 1) AS INT) AS d,
+         CAST(regexp_extract(trim(raw),
+              '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$', 2) AS INT) AS m,
+         regexp_extract(trim(raw),
+              '^(\\d{1,2})-(\\d{1,2})-(\\d{4})$', 3) AS ys
+  FROM t
+), r AS (
+  SELECT raw, d, m,
+         list_filter(
+           flatten(list_transform(range(1, 5), p2 ->
+             list_transform(range(0, 10), dd ->
+               TRY_CAST(substr(ys, 1, p2 - 1) || dd || substr(ys, p2 + 1)
+                        AS INT)))),
+           c -> c BETWEEN 1920 AND 2026)[1] AS yr
+  FROM p
+)
+SELECT raw,
+       printf('%02d-%02d-%04d', d, m, yr) AS normalized,
+       round(0.97 * 0.80, 6) AS confidence,
+       'year_repair_strict_dd_mm_yyyy' AS method
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# N20: day/month swap
+# ---------------------------------------------------------------------------
+
+
+def q_date_month_validation(spark, sf_dir):
+    """MM-DD-YYYY inputs: rows whose textual month slot exceeds 12 must
+    fail validation (normalized null) — exercises _build_result's hard
+    month gate. (The reference's day/month *swap* branch at
+    date_normalizer.py:283-287 is unreachable — it requires d > 31 AND
+    d ≤ 12 simultaneously — so the month gate is what decides here.)"""
+    df = _read(spark, sf_dir, "orders")
+    raw = F.date_format(F.col("o_orderdate"), "MM-dd-yyyy")
+    d = DT.normalize_date(raw)
+    return df.select(
+        raw.alias("raw"),
+        d["normalized"].alias("normalized"),
+        F.round(d["confidence"], 6).alias("confidence"),
+    )
+
+
+SQL_DATE_MONTH_VALIDATION = """
+WITH t AS (
+  SELECT strftime(o_orderdate, '%m-%d-%Y') AS raw,
+         CAST(strftime(o_orderdate, '%d') AS INT) AS dd,
+         CAST(strftime(o_orderdate, '%m') AS INT) AS mm,
+         CAST(strftime(o_orderdate, '%Y') AS INT) AS yy
+  FROM orders
+)
+SELECT raw,
+       CASE WHEN dd <= 12
+              AND TRY_CAST(printf('%04d-%02d-%02d', yy, dd, mm) AS DATE)
+                  IS NOT NULL
+            THEN printf('%02d-%02d-%04d', mm, dd, yy) END AS normalized,
+       CASE WHEN dd <= 12
+              AND TRY_CAST(printf('%04d-%02d-%02d', yy, dd, mm) AS DATE)
+                  IS NOT NULL
+            THEN round(0.97, 6) END AS confidence
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# N24: place/date split
+# ---------------------------------------------------------------------------
+
+
+def q_place_date_split(spark, sf_dir):
+    df = _read(spark, sf_dir, "customer")
+    raw = F.concat(F.upper(F.col("c_name")), F.lit(", 15-08-1990"))
+    s = DT.split_place_date(raw)
+    return df.select(
+        raw.alias("raw"),
+        s["place"].alias("place"),
+        s["date_raw"].alias("date_raw"),
+    )
+
+
+SQL_PLACE_DATE_SPLIT = """
+SELECT upper(c_name) || ', 15-08-1990' AS raw,
+       nullif(regexp_replace(trim(split_part(
+           upper(c_name) || ', 15-08-1990', ',', 1)),
+           '^[.:\\- ]+|[.:\\- ]+$', '', 'g'), '') AS place,
+       '15-08-1990' AS date_raw
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# N28: RT/RW normalization
+# ---------------------------------------------------------------------------
+
+
+def q_rtrw(spark, sf_dir):
+    df = _read(spark, sf_dir, "customer")
+    raw = F.format_string("%d / %d", F.col("c_custkey") % 40,
+                          F.col("c_custkey") % 17)
+    return df.select(raw.alias("raw"),
+                     FX.normalize_rt_rw(raw).alias("rt_rw"))
+
+
+SQL_RTRW = """
+WITH t AS (
+  SELECT printf('%d / %d', c_custkey % 40, c_custkey % 17) AS raw
+  FROM customer
+)
+SELECT raw,
+       lpad(CAST(c_custkey_a AS VARCHAR), 3, '0') || '/' ||
+       lpad(CAST(c_custkey_b AS VARCHAR), 3, '0') AS rt_rw
+FROM (
+  SELECT raw,
+         regexp_extract(raw, '(\\d+)', 1) AS c_custkey_a,
+         regexp_extract(raw, '\\d+ / (\\d+)', 1) AS c_custkey_b
+  FROM t
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# N26/N27: status & gender keyword layers
+# ---------------------------------------------------------------------------
+
+_STATUS_INPUTS = [
+    "CEL UM KAWIN", "SEL UM KAWIN", "BELUM KAWIN", "KAWIN", "MENIKAH",
+    "CERAI HIDUP", "CERAI MATI", "CERAI", "BELUIERAWIN", "SINGLE",
+    "LAJANG", "MARRIED",
+]
+
+
+def q_status_layers(spark, sf_dir):
+    df = _read(spark, sf_dir, "customer")
+    arr = F.array(*[F.lit(s) for s in _STATUS_INPUTS])
+    raw = F.element_at(arr, (F.col("c_custkey") %
+                             len(_STATUS_INPUTS)).cast("int") + 1)
+    return df.select(raw.alias("raw"),
+                     FX.status_keyword_layer(raw).alias("status"))
+
+
+_STATUS_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _STATUS_INPUTS) + "]"
+
+SQL_STATUS_LAYERS = f"""
+WITH t AS (
+  SELECT ({_STATUS_LIST_SQL})[
+    CAST(c_custkey % {len(_STATUS_INPUTS)} AS INT) + 1] AS raw
+  FROM customer
+), n AS (
+  SELECT raw,
+         regexp_replace(regexp_replace(upper(raw),
+           '\\bCEL\\s*UM\\b', 'BELUM', 'g'),
+           '\\bSEL\\s*UM\\b', 'BELUM', 'g') AS v
+  FROM t
+)
+SELECT raw,
+  CASE WHEN v LIKE '%BELUM%' OR v LIKE '%SINGLE%' OR v LIKE '%LAJANG%'
+         THEN 'BELUM KAWIN'
+       WHEN regexp_matches(v, 'KAWIN|MARRIED') AND v NOT LIKE '%BELUM%'
+         THEN 'KAWIN'
+       WHEN (v LIKE '%CERAI%' OR v LIKE '%DIVORCED%') AND v LIKE '%HIDUP%'
+         THEN 'CERAI HIDUP'
+       WHEN (v LIKE '%CERAI%' OR v LIKE '%DIVORCED%') AND v LIKE '%MATI%'
+         THEN 'CERAI MATI'
+       WHEN v LIKE '%CERAI%' OR v LIKE '%DIVORCED%' THEN 'CERAI'
+       WHEN v LIKE 'BELU%' AND v LIKE '%AWIN' THEN 'BELUM KAWIN'
+       ELSE NULL END AS status
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# N32: kabupaten artefact strip
+# ---------------------------------------------------------------------------
+
+
+def q_kabupaten_clean(spark, sf_dir):
+    df = _read(spark, sf_dir, "nation")
+    raw = F.concat(F.lit("XQ KOTA "), F.upper(F.col("n_name")))
+    return df.select(raw.alias("raw"),
+                     FX.clean_kabupaten(raw).alias("cleaned"))
+
+
+SQL_KABUPATEN_CLEAN = """
+SELECT 'XQ KOTA ' || upper(n_name) AS raw,
+       trim(regexp_replace(trim('XQ KOTA ' || upper(n_name)),
+         '^[A-Z]{1,4}\\s+(?=KOTA\\b|KAB\\b|KABUPATEN\\b|JAKARTA\\b)',
+         '')) AS cleaned
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1: document-type detection over real document text
+# ---------------------------------------------------------------------------
+
+
+def q_doc_type(spark, sf_dir):
+    df = _read(spark, sf_dir, "documents")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    return df.select(
+        F.col("doc_id"),
+        classify.document_type(spans).alias("doc_type"),
+    )
+
+
+SQL_DOC_TYPE = """
+WITH t AS (
+  SELECT doc_id, upper(text) AS full_text,
+         regexp_replace(upper(text), '\\s+', '', 'g') AS compact
+  FROM documents
+), s AS (
+  SELECT doc_id, compact,
+    (CASE WHEN full_text LIKE '%SURAT IZIN MENGEMUDI%' THEN 6 ELSE 0 END
+     + CASE WHEN full_text LIKE '%DRIVING LICENSE%' THEN 6 ELSE 0 END
+     + CASE WHEN full_text LIKE '%BERLAKU SAMPAI%' THEN 4 ELSE 0 END
+     + CASE WHEN full_text LIKE '%KORLANTAS%' THEN 3 ELSE 0 END
+     + CASE WHEN regexp_matches(full_text,
+         '\\d{4}[-\\s]\\d{4}[-\\s]\\d{5,6}') THEN 4 ELSE 0 END
+     + CASE WHEN full_text LIKE '%SATPAS%' THEN 2 ELSE 0 END
+     + CASE WHEN full_text LIKE '%NOMOR SIM%' THEN 2 ELSE 0 END
+     + CASE WHEN full_text LIKE '%NO. SIM%' THEN 2 ELSE 0 END
+     + CASE WHEN full_text LIKE '%NO SIM%' THEN 2 ELSE 0 END
+     + CASE WHEN full_text LIKE '%POLDA%' THEN 1 ELSE 0 END
+     + CASE WHEN full_text LIKE '%POLRES%' THEN 1 ELSE 0 END
+     + CASE WHEN full_text LIKE '%METRO JAYA%' THEN 1 ELSE 0 END
+     + CASE WHEN full_text LIKE '%METROJAYA%' THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(full_text, '\\b[1-6]\\.\\s+[A-Z]')
+         THEN 2 ELSE 0 END) AS sim_score,
+    (CASE WHEN full_text LIKE '%KARTU TANDA PENDUDUK%' THEN 6 ELSE 0 END
+     + CASE WHEN full_text LIKE '%KEWARGANEGARAAN%' THEN 4 ELSE 0 END
+     + CASE WHEN full_text LIKE '%STATUS PERKAWINAN%' THEN 4 ELSE 0 END
+     + CASE WHEN full_text LIKE '%BERLAKU HINGGA%' THEN 3 ELSE 0 END
+     + CASE WHEN regexp_matches(compact, '\\b\\d{16}\\b') THEN 5 ELSE 0 END
+     + CASE WHEN full_text LIKE '%PROVINSI%' THEN 2 ELSE 0 END
+     + CASE WHEN full_text LIKE '%KABUPATEN%' THEN 2 ELSE 0 END
+     + CASE WHEN full_text LIKE '%KECAMATAN%' THEN 2 ELSE 0 END
+     + CASE WHEN regexp_matches(full_text, '\\bNIK\\b') THEN 3 ELSE 0 END
+     + CASE WHEN full_text LIKE '%KEL/DESA%' THEN 1 ELSE 0 END
+     + CASE WHEN full_text LIKE '%KEL./DESA%' THEN 1 ELSE 0 END
+     + CASE WHEN full_text LIKE '%RT/RW%' THEN 1 ELSE 0 END
+     + CASE WHEN full_text LIKE '%GOL. DARAH%' THEN 1 ELSE 0 END)
+      AS ktp_score
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN sim_score > ktp_score AND sim_score >= 2 THEN 'SIM'
+       WHEN ktp_score >= 2 THEN 'KTP'
+       WHEN regexp_matches(compact, '\\d{16}') THEN 'KTP'
+       ELSE 'UNKNOWN' END AS doc_type
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# V1: NIK → demographic decode
+# ---------------------------------------------------------------------------
+
+
+def q_nik_decode(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    nik = _nik_col("o_orderkey")
+    dec = NK.nik_decode(nik)
+    return df.select(
+        nik.alias("nik"),
+        dec["gender"].alias("gender"),
+        dec["date_str"].alias("date_str"),
+        dec["date_valid"].alias("date_valid"),
+    )
+
+
+SQL_NIK_DECODE = f"""
+WITH t AS (SELECT {_NIK_SQL.format(k='o_orderkey')} AS nik FROM orders),
+d AS (
+  SELECT nik,
+         CAST(substr(nik, 7, 2) AS INT) AS day_raw,
+         CAST(substr(nik, 9, 2) AS INT) AS mon,
+         CAST(substr(nik, 11, 2) AS INT) AS y2
+  FROM t
+), e AS (
+  SELECT nik, mon,
+         CASE WHEN day_raw > 40 THEN day_raw - 40 ELSE day_raw END AS day,
+         CASE WHEN day_raw > 40 THEN 'PEREMPUAN'
+              ELSE 'LAKI-LAKI' END AS gender,
+         CASE WHEN y2 <= 26 THEN y2 + 2000 ELSE y2 + 1900 END AS yr
+  FROM d
+)
+SELECT nik, gender,
+       printf('%02d-%02d-%04d', day, mon, yr) AS date_str,
+       (day BETWEEN 1 AND 31) AND (mon BETWEEN 1 AND 12)
+         AND (yr BETWEEN 1920 AND 2026) AS date_valid
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# V5: DOB-driven 15→16 padding (digit-major, position-minor)
+# ---------------------------------------------------------------------------
+
+
+def q_pad_nik_dob(spark, sf_dir):
+    from .operators.ktp_post import _pad_nik_with_dob
+
+    df = _read(spark, sf_dir, "orders")
+    nik = _nik_col("o_orderkey")
+    nik15 = F.substring(nik, 2, 15)           # drop the leading digit
+    expected = F.substring(nik, 7, 6)         # true DOB segment
+    return df.select(
+        nik15.alias("nik15"),
+        expected.alias("expected_dob"),
+        _pad_nik_with_dob(nik15, expected).alias("padded"),
+    )
+
+
+SQL_PAD_NIK_DOB = f"""
+WITH t AS (
+  SELECT substr({_NIK_SQL.format(k='o_orderkey')}, 2, 15) AS nik15,
+         substr({_NIK_SQL.format(k='o_orderkey')}, 7, 6) AS expected_dob
+  FROM orders
+)
+SELECT nik15, expected_dob,
+  list_filter(
+    flatten(list_transform(range(0, 10), d ->
+      list_transform(range(0, 16), p ->
+        substr(nik15, 1, p) || d || substr(nik15, p + 1)))),
+    c -> substr(c, 7, 6) = expected_dob)[1] AS padded
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# N11: top-1-per-group ranking (deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+def q_top1_per_group(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    df = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id",
+                F.round(F.col("value"), 6).alias("value"))
+    )
+
+
+SQL_TOP1_PER_GROUP = """
+SELECT user_id, event_id, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join (every dictionary lookup at scale)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    dim = F.broadcast(nation.join(F.broadcast(region),
+                                  nation.n_regionkey == region.r_regionkey))
+    return (
+        cust.join(dim, cust.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_BROADCAST_DIM_JOIN = """
+SELECT r_name,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5/V7: weighted completeness + composite score shape
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_completeness(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    score = (
+        F.when(F.col("o_orderstatus").isNotNull(), F.lit(1.5)).otherwise(0.0)
+        + F.when(F.col("o_totalprice") > 100000, F.lit(1.0)).otherwise(0.0)
+        + F.when(F.col("o_orderpriority").startswith("1"),
+                 F.lit(1.0)).otherwise(0.0)
+        + F.when(F.col("o_custkey") % 2 == 0, F.lit(0.5)).otherwise(0.0)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.round(F.avg(score), 6).alias("avg_completeness"),
+        F.count("*").alias("n"),
+    ).orderBy("o_orderstatus")
+
+
+SQL_WEIGHTED_COMPLETENESS = """
+SELECT o_orderstatus,
+       round(avg(
+         (CASE WHEN o_orderstatus IS NOT NULL THEN 1.5 ELSE 0.0 END)
+         + (CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN o_orderpriority LIKE '1%' THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN o_custkey % 2 = 0 THEN 0.5 ELSE 0.0 END)), 6)
+         AS avg_completeness,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Headline aggregation (TPC-H Q1 shape — bench workhorse)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)
+         AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation over events (batch mode)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    df = _read(spark, sf_dir, "events")
+    return (
+        df.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

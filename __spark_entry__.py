@@ -1,38 +1,129 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query over /root/testdata/sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(plus the training-data ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names,
+same values; floats rounded identically on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from indonesian_id_ocr_service_spark import queries as Q  # noqa: E402
+from indonesian_id_ocr_service_spark import queries_data as QD  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the NIK generate-validate-rank engine + date
+    normalization over sf0.001 — repairs OCR-corrupted 15/16-digit NIKs
+    synthesized from the orders table and decodes them to demographics.
+    """
+    import pyspark.sql.functions as F
+
+    from indonesian_id_ocr_service_spark.functions import dates as DT
+    from indonesian_id_ocr_service_spark.functions import nik as NK
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    nik = Q._nik_col("o_orderkey")
+    noisy15 = F.substring(F.translate(nik, "018", "OIB"), 2, 15)
+    best = NK.best_candidate(noisy15)
+    date_raw = F.replace(
+        F.date_format(F.col("o_orderdate"), "dd-MM-yyyy"),
+        F.lit("-19"), F.lit("-13"))
+    d = DT.normalize_date(date_raw)
+    dec = NK.nik_decode(nik)
+    return orders.select(
+        F.col("o_orderkey").alias("k"),
+        nik.alias("nik_true"),
+        noisy15.alias("nik_ocr"),
+        best["value"].alias("nik_repaired"),
+        F.round(best["confidence"], 4).alias("nik_conf"),
+        best["source"].alias("nik_source"),
+        d["normalized"].alias("tgl_lahir"),
+        dec["gender"].alias("jenis_kelamin"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.5 scalar normalizers / candidate engines
+        "char_sub_to_digit": Q.q_char_sub_to_digit,
+        "nik_structural": Q.q_nik_structural,
+        "clean_nik": Q.q_clean_nik,
+        "date_standard": Q.q_date_standard,
+        "date_3digit_year": Q.q_date_3digit_year,
+        "year_repair": Q.q_year_repair,
+        "date_month_validation": Q.q_date_month_validation,
+        "place_date_split": Q.q_place_date_split,
+        "rtrw_normalize": Q.q_rtrw,
+        "status_layers": Q.q_status_layers,
+        "kabupaten_clean": Q.q_kabupaten_clean,
+        # §2.3 classification
+        "doc_type": Q.q_doc_type,
+        # §2.7 cross-validation
+        "nik_decode": Q.q_nik_decode,
+        "pad_nik_dob": Q.q_pad_nik_dob,
+        # §2.8 relational shapes
+        "top1_per_group": Q.q_top1_per_group,
+        "broadcast_dim_join": Q.q_broadcast_dim_join,
+        "weighted_completeness": Q.q_weighted_completeness,
+        "pricing_summary": Q.q_pricing_summary,
+        "events_hourly": Q.q_events_hourly,
+        # training-data ops
+        "dedup_exact": QD.q_dedup_exact,
+        "minhash_lsh": QD.q_minhash_lsh,
+        "ngram_jaccard": QD.q_ngram_jaccard,
+        "simhash": QD.q_simhash,
+        "ann_cosine_topk": QD.q_ann_cosine_topk,
+        "lang_id": QD.q_lang_id,
+        "quality_score": QD.q_quality_score,
+        "token_counts": QD.q_token_counts,
+        "fingerprint": QD.q_fingerprint,
+        "media_features": QD.q_media_features,
+        "embedding_norms": QD.q_embedding_norms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "char_sub_to_digit": Q.SQL_CHAR_SUB_TO_DIGIT,
+        "nik_structural": Q.SQL_NIK_STRUCTURAL,
+        "clean_nik": Q.SQL_CLEAN_NIK,
+        "date_standard": Q.SQL_DATE_STANDARD,
+        "date_3digit_year": Q.SQL_DATE_3DIGIT,
+        "year_repair": Q.SQL_YEAR_REPAIR,
+        "date_month_validation": Q.SQL_DATE_MONTH_VALIDATION,
+        "place_date_split": Q.SQL_PLACE_DATE_SPLIT,
+        "rtrw_normalize": Q.SQL_RTRW,
+        "status_layers": Q.SQL_STATUS_LAYERS,
+        "kabupaten_clean": Q.SQL_KABUPATEN_CLEAN,
+        "doc_type": Q.SQL_DOC_TYPE,
+        "nik_decode": Q.SQL_NIK_DECODE,
+        "pad_nik_dob": Q.SQL_PAD_NIK_DOB,
+        "top1_per_group": Q.SQL_TOP1_PER_GROUP,
+        "broadcast_dim_join": Q.SQL_BROADCAST_DIM_JOIN,
+        "weighted_completeness": Q.SQL_WEIGHTED_COMPLETENESS,
+        "pricing_summary": Q.SQL_PRICING_SUMMARY,
+        "events_hourly": Q.SQL_EVENTS_HOURLY,
+        "dedup_exact": QD.SQL_DEDUP_EXACT,
+        "minhash_lsh": QD.SQL_MINHASH_LSH,
+        "ngram_jaccard": QD.SQL_NGRAM_JACCARD,
+        "simhash": QD.SQL_SIMHASH,
+        "ann_cosine_topk": QD.SQL_ANN_COSINE,
+        "lang_id": QD.SQL_LANG_ID,
+        "quality_score": QD.SQL_QUALITY,
+        "token_counts": QD.SQL_TOKEN_COUNTS,
+        "fingerprint": QD.SQL_FINGERPRINT,
+        "media_features": QD.SQL_MEDIA_FEATURES,
+        "embedding_norms": QD.SQL_EMBEDDING_NORMS,
+    }

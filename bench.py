@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Times (a) the end-to-end span-extraction pipeline on a deterministic
+generated corpus (seed 42) and (b) headline operator queries on the
+testdata at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), running
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "pipeline": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        cores for local[N] (default 32)
+  SPARK_GRAFT_BENCH_DOCS  corpus size for the pipeline bench (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from indonesian_id_ocr_service_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "broadcast_dim_join",
+    "top1_per_group",
+    "events_hourly",
+    "nik_structural",
+    "clean_nik",
+    "date_standard",
+    "year_repair",
+    "pad_nik_dob",
+    "doc_type",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "media_features",
+    "embedding_norms",
+]
+
+
+def _force(df) -> int:
+    """Materialize every column (count() alone would let Spark prune)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+    ).collect()[0][0] or 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    import __spark_entry__ as entrymod
+    from indonesian_id_ocr_service_spark.corpus.generator import corpus_df
+    from indonesian_id_ocr_service_spark.pipeline import run_pipeline
+
+    results: dict[str, float] = {}
+    total = 0.0
+
+    # ---- pipeline bench: corpus materialized first (input prep), then
+    # the extraction timed end-to-end reading from parquet ----
+    corpus_path = f"/tmp/bench_corpus_{n_docs}"
+    if not os.path.exists(corpus_path):
+        corpus_df(spark, n_docs, partitions=cpus * 2).write.mode(
+            "overwrite").parquet(corpus_path)
+    src = spark.read.parquet(corpus_path)
+
+    out_path = "/tmp/bench_out"
+    shutil.rmtree(out_path, ignore_errors=True)
+    t0 = time.time()
+    run_pipeline(src).write.mode("overwrite").parquet(out_path)
+    pipe_sec = time.time() - t0
+    total += pipe_sec
+    n_out = spark.read.parquet(out_path).count()
+
+    # ---- headline operator queries on the testdata ----
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "e2e_extraction_plus_headline_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "pipeline": {
+            "n_docs": n_docs,
+            "sec": round(pipe_sec, 3),
+            "docs_per_sec": round(n_docs / pipe_sec, 1),
+            "rows_out": n_out,
+            "cpus": cpus,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

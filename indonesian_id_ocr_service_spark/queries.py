@@ -99,7 +99,7 @@ def q_nik_structural(spark, sf_dir):
 SQL_NIK_STRUCTURAL = f"""
 WITH t AS (SELECT {_NIK_SQL.format(k='o_orderkey')} AS nik FROM orders)
 SELECT nik,
-  round(
+  round(CAST(
     (CASE WHEN CAST(substr(nik,1,2) AS INT) IN ({_PROV_IN}) THEN 1.0
           WHEN CAST(substr(nik,1,2) AS INT) < 11
             OR CAST(substr(nik,1,2) AS INT) > 94 THEN 0.40
@@ -111,8 +111,8 @@ SELECT nik,
           ELSE 0.10 END)
   * (CASE WHEN CAST(substr(nik,9,2) AS INT) < 1
             OR CAST(substr(nik,9,2) AS INT) > 12 THEN 0.0 ELSE 1.0 END)
-  * (CASE WHEN CAST(substr(nik,13,4) AS INT) = 0 THEN 0.50 ELSE 1.0 END),
-  6) AS structural_score
+  * (CASE WHEN CAST(substr(nik,13,4) AS INT) = 0 THEN 0.50 ELSE 1.0 END)
+  AS DOUBLE), 6) AS structural_score
 FROM t
 """
 
@@ -207,8 +207,10 @@ FROM p
 
 
 def q_date_3digit_year(spark, sf_dir):
-    df = _read(spark, sf_dir, "orders")
-    # 'DD-MM-99X' shapes: drop the first year digit → 992..998 → 19xx
+    # restrict to 19xx dates so the dropped first year digit yields a
+    # 900-999 three-digit year (the deterministic '1'||y3 branch)
+    df = _read(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") < 1999)
     raw = F.concat(F.substring(_date_str(), 1, 6),
                    F.substring(_date_str(), 8, 3))
     d = DT.normalize_date(raw)
@@ -224,7 +226,7 @@ SQL_DATE_3DIGIT = """
 WITH t AS (
   SELECT substr(strftime(o_orderdate, '%d-%m-%Y'), 1, 6)
          || substr(strftime(o_orderdate, '%d-%m-%Y'), 8, 3) AS raw
-  FROM orders
+  FROM orders WHERE year(o_orderdate) < 1999
 ), p AS (
   SELECT raw,
          CAST(regexp_extract(trim(raw),
@@ -254,8 +256,9 @@ FROM y
 
 
 def q_year_repair(spark, sf_dir):
-    df = _read(spark, sf_dir, "orders")
-    # misread century: 1992 → 1392 etc.
+    # 19xx dates only: century misread 1992 → 1392 etc.
+    df = _read(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") < 1999)
     raw = F.replace(_date_str(), F.lit("-19"), F.lit("-13"))
     d = DT.normalize_date(raw)
     return df.select(
@@ -269,7 +272,7 @@ def q_year_repair(spark, sf_dir):
 SQL_YEAR_REPAIR = """
 WITH t AS (
   SELECT replace(strftime(o_orderdate, '%d-%m-%Y'), '-19', '-13') AS raw
-  FROM orders
+  FROM orders WHERE year(o_orderdate) < 1999
 ), p AS (
   SELECT raw,
          CAST(regexp_extract(trim(raw),
@@ -291,7 +294,7 @@ WITH t AS (
 )
 SELECT raw,
        printf('%02d-%02d-%04d', d, m, yr) AS normalized,
-       round(0.97 * 0.80, 6) AS confidence,
+       round(CAST(0.97 * 0.80 AS DOUBLE), 6) AS confidence,
        'year_repair_strict_dd_mm_yyyy' AS method
 FROM r
 """
@@ -334,7 +337,7 @@ SELECT raw,
        CASE WHEN dd <= 12
               AND TRY_CAST(printf('%04d-%02d-%02d', yy, dd, mm) AS DATE)
                   IS NOT NULL
-            THEN round(0.97, 6) END AS confidence
+            THEN round(CAST(0.97 AS DOUBLE), 6) END AS confidence
 FROM t
 """
 
@@ -457,11 +460,13 @@ def q_kabupaten_clean(spark, sf_dir):
                      FX.clean_kabupaten(raw).alias("cleaned"))
 
 
+# RE2 (DuckDB) lacks lookahead — keep the keyword via a backreference
+# instead of Spark's zero-width (?=...) form; results are identical.
 SQL_KABUPATEN_CLEAN = """
 SELECT 'XQ KOTA ' || upper(n_name) AS raw,
        trim(regexp_replace(trim('XQ KOTA ' || upper(n_name)),
-         '^[A-Z]{1,4}\\s+(?=KOTA\\b|KAB\\b|KABUPATEN\\b|JAKARTA\\b)',
-         '')) AS cleaned
+         '^[A-Z]{1,4}\\s+(KOTA\\b|KAB\\b|KABUPATEN\\b|JAKARTA\\b)',
+         '\\1')) AS cleaned
 FROM nation
 """
 

@@ -1,0 +1,358 @@
+"""Training-data pipeline queries (dedup / similarity / multimodal /
+text analysis) with DuckDB oracle SQL.
+
+Duplicates are synthesized deterministically (both engines compute the
+same UNION): exact copies at doc_id+1000000 for doc_id % 7 = 0, mutated
+near-copies at doc_id+2000000 for doc_id % 11 = 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text_analysis as TA
+from .operators import dedup as DD
+from .operators import media as MD
+from .operators import similarity as SIM
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        base.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail words")).alias(
+                "text"),
+        )
+    )
+    return base.unionAll(exact).unionAll(near)
+
+
+_DOCS_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra tail words' AS text
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES_SQL = f"""
+  CASE WHEN len(string_split({_NORM_SQL}, ' ')) >= 3
+       THEN list_transform(
+              range(1, len(string_split({_NORM_SQL}, ' ')) - 1),
+              i -> string_split({_NORM_SQL}, ' ')[i] || ' ' ||
+                   string_split({_NORM_SQL}, ' ')[i+1] || ' ' ||
+                   string_split({_NORM_SQL}, ' ')[i+2])
+       ELSE [array_to_string(string_split({_NORM_SQL}, ' '), ' ')]
+  END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup_stats(_docs_with_dups(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH docs AS ({_DOCS_DUPS_SQL}),
+fp AS (SELECT md5({_NORM_SQL}) AS h FROM docs),
+g AS (SELECT h, count(*) AS c FROM fp GROUP BY h)
+SELECT count(*) AS n_distinct,
+       sum(c) AS n_docs,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+       sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS n_removable
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return DD.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir)) \
+        .orderBy("doc_a", "doc_b")
+
+
+def _sig_sql(j: int) -> str:
+    return (f"list_aggregate(list_transform(sh, "
+            f"s -> md5('{j}:' || s)), 'min')")
+
+
+_BANDS = [(b, b * 2, b * 2 + 1) for b in range(6)]
+
+SQL_MINHASH_LSH = f"""
+WITH docs AS ({_DOCS_DUPS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM docs),
+sig AS (
+  SELECT doc_id,
+         [{", ".join(_sig_sql(j) for j in range(12))}] AS s
+  FROM sh
+),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id AS doc, {b} AS band, "
+      f"s[{h1 + 1}] || '|' || s[{h2 + 1}] AS key FROM sig"
+      for b, h1, h2 in _BANDS)}
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification pairs
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir)) \
+        .orderBy("doc_a")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+ORDER BY doc_a
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash sketches
+# ---------------------------------------------------------------------------
+
+
+def q_simhash(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id",
+                     DD.simhash32(F.col("text")).alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
+h AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+bits AS (
+  SELECT doc_id, p.p AS p,
+         sum(CASE WHEN substr(hx, CAST(p.p AS INT), 1) IN
+               ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(1, 33)) AS p) p
+  GROUP BY doc_id, p.p
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY p) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries, k=3).orderBy("query_id", "rn")
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv)) > 0
+                    THEN list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv)))
+                    ELSE 0.0 END, 5) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CASE WHEN sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)) > 0
+                         THEN list_dot_product(qv, cv)
+                              / (sqrt(list_dot_product(qv, qv))
+                                 * sqrt(list_dot_product(cv, cv)))
+                         ELSE 0.0 END DESC, neighbor_id ASC) AS rn
+  FROM q, c WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM s
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", TA.lang_guess(F.col("text")).alias("guess"))
+
+
+_ID_PAT = r"\b(" + "|".join(TA.ID_STOPWORDS) + r")\b"
+_EN_PAT = r"\b(" + "|".join(TA.EN_STOPWORDS) + r")\b"
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_ID_PAT}')) AS id_n,
+         len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS en_n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN id_n > en_n THEN 'id'
+            WHEN en_n > id_n THEN 'en'
+            ELSE 'unknown' END AS guess
+FROM t
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id",
+                     TA.quality_score(F.col("text")).alias("quality"))
+
+
+_STOP_ALL_PAT = r"\b(" + "|".join(TA.ID_STOPWORDS + TA.EN_STOPWORDS) + r")\b"
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+              AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_ALL_PAT}'))
+              AS DOUBLE) AS stop,
+         CAST(len(string_split_regex(trim(text), '\\s+'))
+              AS DOUBLE) AS words
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n / 2000.0, 1.0) * 0.35
+             + (alpha / greatest(n, 1.0)) * 0.25
+             + (1.0 - least(punct * 10.0 / greatest(n, 1.0), 1.0)) * 0.20
+             + least(stop / greatest(words * 0.1, 1.0), 1.0) * 0.20,
+             6) AS quality
+FROM t
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    tc = TA.token_counts(F.col("text"))
+    return df.select(
+        "doc_id",
+        tc["ws_tokens"].alias("ws_tokens"),
+        tc["approx_bpe"].alias("approx_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT) AS approx_bpe
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id",
+                     TA.fingerprint(F.col("text")).alias("fp16"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, substr(md5({_NORM_SQL}), 1, 16) AS fp16
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload → deterministic feature extraction (stub
+# decode, real Arrow plumbing)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return MD.extract_media_features(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bytes", "tag", "f0", "f1", "f2", "f3",
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_FEATURES = """
+WITH t AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       substr(h, 1, 8) AS tag,
+       CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS f0,
+       CAST(strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS INT) AS f1,
+       CAST(strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS INT) AS f2,
+       CAST(strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS INT) AS f3
+FROM t ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding statistics (norms per label — scan + agg over vectors)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select("label", SIM.norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("nrm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(
+         CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4)
+         AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""

@@ -87,6 +87,10 @@ def main() -> None:
         corpus_df(spark, n_docs, partitions=cpus * 2).write.mode(
             "overwrite").parquet(corpus_path)
     src = spark.read.parquet(corpus_path)
+    # small-corpus guard: per-doc Python work needs ≥1 partition/core
+    # (at production scale the file splits provide this naturally)
+    if src.rdd.getNumPartitions() < cpus:
+        src = src.repartition(cpus * 2)
 
     out_path = "/tmp/bench_out"
     shutil.rmtree(out_path, ignore_errors=True)

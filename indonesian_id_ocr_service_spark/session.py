@@ -45,6 +45,14 @@ def build_session(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Per-document work is compute-heavy (pandas UDF extraction), so
+        # input splits must target CORES, not IO: the defaults
+        # (128 MB splits, 4 MB file-open cost) bin-pack a small corpus
+        # into 2-3 partitions and starve the executors. At warehouse
+        # scale the natural 128 MB splits already exceed core count;
+        # these knobs only matter for small/medium inputs.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

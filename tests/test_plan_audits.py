@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the scale claims hold in the actual plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from indonesian_id_ocr_service_spark.plans import audit
+from indonesian_id_ocr_service_spark import queries as Q
+from indonesian_id_ocr_service_spark import queries_data as QD
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extraction_path_is_shuffle_free(spark):
+    """classify → extract → cleanup → repair → crossval → format →
+    assemble must contain NO Exchange: one row per doc, narrow all the
+    way (union branches excluded — they are separate narrow chains)."""
+    from indonesian_id_ocr_service_spark.corpus.generator import doc_rows
+    from indonesian_id_ocr_service_spark.pipeline import (
+        classify_documents, run_ktp_branch, with_default_geometry)
+
+    rows = list(doc_rows(10, fractions=(1.0, 0, 0)))
+    df = spark.createDataFrame(
+        rows, "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>, "
+        "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+    out = run_ktp_branch(
+        classify_documents(with_default_geometry(df)).filter(
+            F.col("doc_type") == "KTP"))
+    assert audit.count_exchanges(out) == 0, audit.simple_plan(out)[:2000]
+
+
+def test_dim_join_broadcasts(spark):
+    df = Q.q_broadcast_dim_join(spark, SF)
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_sort_merge_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q.q_date_3digit_year(spark, SF)
+    pushed = audit.pushed_filters(df)
+    # the year(o_orderdate) < 1999 predicate must reach the scan and the
+    # scan must read only o_orderdate
+    assert "PushedFilters" in pushed
+    assert "o_orderdate" in pushed
+    assert "o_totalprice" not in pushed  # column pruning
+
+
+def test_minhash_lsh_single_shuffle_side(spark):
+    """The only shuffles in LSH dedup are the band self-join + distinct
+    — the signature computation itself is per-row (no Exchange before
+    the join inputs)."""
+    df = QD.q_minhash_lsh(spark, SF)
+    plan = audit.simple_plan(df)
+    # signatures feed the join from a plain scan+project, not from an
+    # aggregation: no partial-agg Exchange before the join keys exist
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from indonesian_id_ocr_service_spark import queries as Q  # noqa: E402
 from indonesian_id_ocr_service_spark import queries_data as QD  # noqa: E402
+from indonesian_id_ocr_service_spark import queries_scoring as QS  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,9 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kabupaten_clean": Q.q_kabupaten_clean,
         # §2.3 classification
         "doc_type": Q.q_doc_type,
-        # §2.7 cross-validation
+        # §2.7 cross-validation & scoring
         "nik_decode": Q.q_nik_decode,
         "pad_nik_dob": Q.q_pad_nik_dob,
+        "confidence_scoring": QS.q_confidence_scoring,
         # §2.8 relational shapes
         "top1_per_group": Q.q_top1_per_group,
         "broadcast_dim_join": Q.q_broadcast_dim_join,
@@ -110,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_type": Q.SQL_DOC_TYPE,
         "nik_decode": Q.SQL_NIK_DECODE,
         "pad_nik_dob": Q.SQL_PAD_NIK_DOB,
+        "confidence_scoring": QS.SQL_CONFIDENCE_SCORING,
         "top1_per_group": Q.SQL_TOP1_PER_GROUP,
         "broadcast_dim_join": Q.SQL_BROADCAST_DIM_JOIN,
         "weighted_completeness": Q.SQL_WEIGHTED_COMPLETENESS,

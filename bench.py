@@ -63,7 +63,8 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     spark = build_session(

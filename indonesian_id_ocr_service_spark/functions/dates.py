@@ -59,7 +59,7 @@ def repair_year(yr: Column) -> Column:
                         F.substring(s, F.lit(1), p - 1),
                         d.cast("string"),
                         F.substr(s, p + 1),
-                    ).try_cast("int"),
+                    ).cast("int"),
                 ),
             )
         )
@@ -165,10 +165,10 @@ def _build(d_s: Column, mo_s: Column, yr_s: Column, conf: Column,
 
     return let2(
         F.struct(
-            F.trim(d_s).try_cast("int").alias("_d"),
-            F.trim(mo_s).try_cast("int").alias("_m"),
+            F.trim(d_s).cast("int").alias("_d"),
+            F.trim(mo_s).cast("int").alias("_m"),
         ),
-        F.trim(yr_s).try_cast("int"),
+        F.trim(yr_s).cast("int"),
         lambda dm_raw, yr_raw: let2(
             stage1(dm_raw["_d"], dm_raw["_m"]),
             stage2(yr_raw),
@@ -253,7 +253,7 @@ def _three_digit_year(text: Column, conf_scale: float = 1.0,
         )
 
         def build(g: Column) -> Column:
-            yi = g["y3"].try_cast("int")
+            yi = g["y3"].cast("int")
             yf = (
                 F.when((yi >= 900) & (yi <= 999),
                        F.concat(F.lit("1"), g["y3"]))
@@ -328,7 +328,7 @@ def _permissive(text: Column) -> Column:
             y_full = F.when(
                 F.length(g["y"]) == 2,
                 F.when(
-                    g["y"].try_cast("int") > 25,
+                    g["y"].cast("int") > 25,
                     F.concat(F.lit("19"), g["y"]),
                 ).otherwise(F.concat(F.lit("20"), g["y"])),
             ).otherwise(g["y"])

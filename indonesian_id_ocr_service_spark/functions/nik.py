@@ -60,11 +60,11 @@ def clean_nik(c: Column) -> Column:
 
 def structural_score(v: Column) -> Column:
     """N10: NIK spec-compliance score in [0,1] (nik_fuzzy.py:261-311)."""
-    prov = F.substring(v, 1, 2).try_cast("int")
-    district = F.substring(v, 5, 2).try_cast("int")
-    day = F.substring(v, 7, 2).try_cast("int")
-    month = F.substring(v, 9, 2).try_cast("int")
-    seq = F.substring(v, 13, 4).try_cast("int")
+    prov = F.substring(v, 1, 2).cast("int")
+    district = F.substring(v, 5, 2).cast("int")
+    day = F.substring(v, 7, 2).cast("int")
+    month = F.substring(v, 9, 2).cast("int")
+    seq = F.substring(v, 13, 4).cast("int")
 
     prov_f = (
         F.when(prov.isin(list(VALID_PROVINCE_CODES)), F.lit(1.0))
@@ -273,9 +273,9 @@ def nik_decode(nik: Column) -> Column:
     """V1: decode a 16-digit NIK into
     struct<day:int, month:int, year:int, gender:string, date_str:string,
     date_valid:boolean> (nik_cross_validator.py:82-104)."""
-    day_raw = F.substring(nik, 7, 2).try_cast("int")
-    month = F.substring(nik, 9, 2).try_cast("int")
-    year2 = F.substring(nik, 11, 2).try_cast("int")
+    day_raw = F.substring(nik, 7, 2).cast("int")
+    month = F.substring(nik, 9, 2).cast("int")
+    year2 = F.substring(nik, 11, 2).cast("int")
     return let2(
         day_raw,
         year2,

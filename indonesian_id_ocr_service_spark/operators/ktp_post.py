@@ -64,7 +64,7 @@ def _nullif_empty(c: Column) -> Column:
     return F.when(c.isNotNull() & (c != ""), c)
 
 
-def apply_cleanup(df: DataFrame) -> DataFrame:
+def apply_cleanup(df: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """cleanup_data (ktp_extractor.py:589-743) over the raw field cols.
 
     Three projections: (1) prologue + exact tiers in JVM, (2) fuzzy
@@ -217,6 +217,7 @@ def apply_cleanup(df: DataFrame) -> DataFrame:
         "media_refs",
         "nik_rescue_value",
         "nik_rescue_conf",
+        *passthrough,
         _nullif_empty(prov_c).alias("provinsi"),
         _nullif_empty(kab_c).alias("kabupaten"),
         _nullif_empty(nik_c).alias("nik"),
@@ -336,7 +337,7 @@ def _pad_nik_with_dob(digits15: Column, expected: Column) -> Column:
         return F.when(
             prefix_ok & suffix_ok,
             F.struct(
-                (d_req.try_cast("int") * 16 + F.lit(p)).alias("prio"),
+                (d_req.cast("int") * 16 + F.lit(p)).alias("prio"),
                 F.concat(
                     F.substring(digits15, 1, p),
                     d_req,
@@ -408,16 +409,16 @@ def apply_crossval(df: DataFrame) -> DataFrame:
                         .when(existing == dec["date_str"], ttl)
                         .when(
                             # all components match → reformat
-                            (F.substring(existing, 1, 2).try_cast("int")
+                            (F.substring(existing, 1, 2).cast("int")
                              == dec["day"])
-                            & (F.substring(existing, 4, 2).try_cast("int")
+                            & (F.substring(existing, 4, 2).cast("int")
                                == dec["month"])
-                            & (F.substring(existing, 7, 4).try_cast("int")
+                            & (F.substring(existing, 7, 4).cast("int")
                                % 100 == dec["year"] % 100),
                             rebuild,
                         )
                         .when(
-                            F.substring(existing, 7, 4).try_cast("int")
+                            F.substring(existing, 7, 4).cast("int")
                             % 100 == dec["year"] % 100,
                             ttl,
                         )
@@ -441,14 +442,14 @@ def apply_crossval(df: DataFrame) -> DataFrame:
             lambda ex: let(
                 F.format_string(
                     "%02d%02d%02d",
-                    F.substring(ex, 1, 2).try_cast("int")
+                    F.substring(ex, 1, 2).cast("int")
                     + F.when(
                         _norm_gender(F.coalesce(jk, F.lit("")))
                         == "PEREMPUAN",
                         F.lit(40),
                     ).otherwise(F.lit(0)),
-                    F.substring(ex, 4, 2).try_cast("int"),
-                    F.substring(ex, 7, 4).try_cast("int") % 100,
+                    F.substring(ex, 4, 2).cast("int"),
+                    F.substring(ex, 7, 4).cast("int") % 100,
                 ),
                 lambda expected: let(
                     digits_only(sub_to_digit(F.coalesce(nik, F.lit("")))),
@@ -485,7 +486,7 @@ def apply_crossval(df: DataFrame) -> DataFrame:
     ).drop("_cv")
 
 
-def apply_format(df: DataFrame) -> DataFrame:
+def apply_format(df: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """format_to_target_json (ktp_extractor.py:750-805): TTL split,
     conservative tempat_lahir place correction (N37), final field cols."""
     place_udf = PT.correct_place_udf()
@@ -544,6 +545,7 @@ def apply_format(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id",
         "media_refs",
+        *passthrough,
         F.lit("KTP").alias("document_type"),
         F.col("nik").alias("nomor"),
         F.col("nama").alias("nama"),

@@ -27,10 +27,10 @@ def _alpha_space_ratio(v: Column) -> Column:
 def score_nik(v: Column) -> Column:
     """V6 NIK scorer (confidence_scorer.py:251-285)."""
     digits = F.length(F.regexp_replace(v, r"\D", ""))
-    prov = F.substring(v, 1, 2).try_cast("int")
-    day = F.substring(v, 7, 2).try_cast("int")
-    month = F.substring(v, 9, 2).try_cast("int")
-    seq = F.substring(v, 13, 4).try_cast("int")
+    prov = F.substring(v, 1, 2).cast("int")
+    day = F.substring(v, 7, 2).cast("int")
+    month = F.substring(v, 9, 2).cast("int")
+    seq = F.substring(v, 13, 4).cast("int")
     structured = (
         F.lit(1.0)
         * F.when((prov < 11) | (prov > 94), 0.65).otherwise(1.0)
@@ -61,9 +61,9 @@ def score_nama(v: Column) -> Column:
 
 def score_date(v: Column) -> Column:
     """V6 date scorer (confidence_scorer.py:303-328)."""
-    d = F.substring(v, 1, 2).try_cast("int")
-    m = F.substring(v, 4, 2).try_cast("int")
-    y = F.substring(v, 7, 4).try_cast("int")
+    d = F.substring(v, 1, 2).cast("int")
+    m = F.substring(v, 4, 2).cast("int")
+    y = F.substring(v, 7, 4).cast("int")
     in_fmt = v.rlike(r"^\d{2}-\d{2}-\d{4}$")
     score = (
         F.when((d < 1) | (d > 31) | (m < 1) | (m > 12), F.lit(0.0))
@@ -176,10 +176,10 @@ _SCORERS = {
 
 def _nik_bonus(nik: Column) -> Column:
     """V8 structural bonus (confidence_scorer.py:198-245)."""
-    prov = F.substring(nik, 1, 2).try_cast("int")
-    day = F.substring(nik, 7, 2).try_cast("int")
-    month = F.substring(nik, 9, 2).try_cast("int")
-    seq = F.substring(nik, 13, 4).try_cast("int")
+    prov = F.substring(nik, 1, 2).cast("int")
+    day = F.substring(nik, 7, 2).cast("int")
+    month = F.substring(nik, 9, 2).cast("int")
+    seq = F.substring(nik, 13, 4).cast("int")
     bonus = (
         F.when((prov >= 11) & (prov <= 94), 0.03).otherwise(-0.05)
         + F.when(((day >= 1) & (day <= 31)) | ((day >= 41) & (day <= 71)),
@@ -246,13 +246,13 @@ def score_fields(df: DataFrame, col_map: dict[str, str]) -> DataFrame:
         nik.isNotNull() & nik.rlike(r"^\d{16}$")
         & tgl.isNotNull() & tgl.rlike(r"^\d{2}-\d{2}-\d{4}$")
     )
-    n_day = F.substring(nik, 7, 2).try_cast("int")
+    n_day = F.substring(nik, 7, 2).cast("int")
     adj_day = F.when(n_day > 40, n_day - 40).otherwise(n_day)
-    day_ok = adj_day == F.substring(tgl, 1, 2).try_cast("int")
-    mon_ok = (F.substring(nik, 9, 2).try_cast("int")
-              == F.substring(tgl, 4, 2).try_cast("int"))
-    yr_ok = (F.substring(nik, 11, 2).try_cast("int")
-             == F.substring(tgl, 7, 4).try_cast("int") % 100)
+    day_ok = adj_day == F.substring(tgl, 1, 2).cast("int")
+    mon_ok = (F.substring(nik, 9, 2).cast("int")
+              == F.substring(tgl, 4, 2).cast("int"))
+    yr_ok = (F.substring(nik, 11, 2).cast("int")
+             == F.substring(tgl, 7, 4).cast("int") % 100)
     nik_female = n_day > 40
     ocr_female = (F.upper(jk).contains("PEREMPUAN")
                   | F.upper(jk).contains("WANITA"))

@@ -1,0 +1,174 @@
+"""Unified single-pass extraction: classify + extract every document in
+ONE mapInPandas stage.
+
+Why not union-of-filtered-branches: with three filtered branches over
+the same source, Spark plans three sub-trees — the source scan,
+repartition exchange and classification each execute once per branch
+(observed 3× executor time and no exchange reuse under AQE), and the
+final union stage multiplies per-row work again. One Arrow pass that
+dispatches per row on the document type keeps the whole pipeline a
+single linear narrow chain: scan → UDF → JVM normalize chain → write,
+at full parallelism with zero duplicated subtrees.
+
+Classification here is the same scoring function the JVM expression
+implements (operators/classify.py, oracle-checked as q_doc_type); the
+Python form rides inside the batch loop that already holds the texts,
+costing one string scan per document.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..dictionaries import OUTPUT_FIELD_ORDER
+from ..oracle.ktp import identify_document_type
+from . import sim_core
+from .ktp_spatial import FIELD_COLS, _extract_one_doc, _nik_rescue
+
+import numpy as np
+
+_SIM_COLS = [
+    "sim_" + f.replace(".", "_") for f in OUTPUT_FIELD_ORDER
+    if f != "document_type"
+]
+_SIM_FIELDS = [f for f in OUTPUT_FIELD_ORDER if f != "document_type"]
+
+UNIFIED_SCHEMA = (
+    "doc_id string, doc_type string, media_refs array<string>, "
+    + ", ".join(f"{c} string" for c in FIELD_COLS.values())
+    + ", nik_rescue_value string, nik_rescue_conf double, "
+    + ", ".join(f"{c} string" for c in _SIM_COLS)
+)
+
+_N_KTP = len(FIELD_COLS)
+_N_SIM = len(_SIM_COLS)
+
+
+FULL_KERNEL_SCHEMA = (
+    "doc_id string, doc_type string, media_refs array<string>, "
+    + ", ".join(
+        f"{f.replace('.', '_')} string" for f in OUTPUT_FIELD_ORDER
+        if f != "document_type"
+    )
+)
+
+_OUT_FIELDS = [f for f in OUTPUT_FIELD_ORDER if f != "document_type"]
+
+
+def full_kernel_batch(batches):
+    """(doc_id, spans, span_geom) → FINAL output fields per document:
+    the complete per-doc grammar (classify → extract → cleanup → repair
+    → cross-validate → format / SIM kernel) in one Arrow batch.
+
+    This is the scale configuration: measured at ~1-2 core-ms/doc
+    (memoized fuzzy tiers) versus ~85 core-ms/doc for the equivalent
+    JVM interpreted-expression chain — Spark's higher-order functions
+    recompute `dataType` recursively per evaluation, which dominates
+    once expression trees reach normalizer-chain size (see BENCH.md).
+    The JVM chain remains the verification mode: independently
+    implemented, span-equality-tested, and every operator in it is
+    DuckDB-oracle-checked via __spark_entry__.
+    """
+    from ..oracle import ktp as ktp_oracle
+
+    for pdf in batches:
+        rows = []
+        for doc_id, spans, geom in zip(pdf["doc_id"], pdf["spans"],
+                                       pdf["span_geom"]):
+            texts = [s["text"] for s in spans if s["kind"] == "text"]
+            media = [s["media_ref"] for s in spans
+                     if s["kind"] == "media"]
+            doc_type = identify_document_type(texts)
+            vals = [None] * len(_OUT_FIELDS)
+            if doc_type == "KTP":
+                # K1-K11 via the independent matrix-style extractor
+                # (ktp_spatial) — the span-equality gate stays a real
+                # two-implementation check for the spatial stage; the
+                # scalar post-chain shares the semantics library that is
+                # parity-tested against the JVM expressions.
+                g_y0, g_y1, g_x0, g_x1 = [], [], [], []
+                for sp, g in zip(spans, geom):
+                    if sp["kind"] == "text":
+                        g_y0.append(g["y"])
+                        g_y1.append(g["y"] + g["h"])
+                        g_x0.append(g["x0"])
+                        g_x1.append(g["x1"])
+                y0 = np.asarray(g_y0, dtype=np.float64)
+                y1 = np.asarray(g_y1, dtype=np.float64)
+                raw = _extract_one_doc(
+                    texts, y0, y1,
+                    np.asarray(g_x0, dtype=np.float64),
+                    np.asarray(g_x1, dtype=np.float64),
+                )
+                items = ktp_oracle.build_items(list(spans), list(geom))
+                cleaned = ktp_oracle.cleanup_data(raw)
+                repaired = ktp_oracle.repair(cleaned, items)
+                validated = ktp_oracle.cross_validate(repaired)
+                result = ktp_oracle.format_output(validated)
+                vals = [result.get(f) for f in _OUT_FIELDS]
+            elif doc_type == "SIM":
+                items_sim = []
+                for sp, g in zip(spans, geom):
+                    if sp["kind"] == "text":
+                        items_sim.append({
+                            "text": sp["text"], "x0": g["x0"],
+                            "h": g["h"],
+                            "y_center": (2 * g["y"] + g["h"]) / 2,
+                        })
+                result = sim_core.process_sim_doc(texts, items_sim)
+                vals = [result.get(f) for f in _OUT_FIELDS]
+            rows.append([doc_id, doc_type, media] + vals)
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "doc_type", "media_refs"]
+            + [f.replace(".", "_") for f in _OUT_FIELDS],
+        )
+
+
+def unified_extract_batch(batches):
+    """(doc_id, spans, span_geom) → one wide row per document:
+    doc_type + KTP raw fields (+ NIK rescue) + SIM final fields."""
+    ktp_cols = list(FIELD_COLS)
+    for pdf in batches:
+        rows = []
+        for doc_id, spans, geom in zip(pdf["doc_id"], pdf["spans"],
+                                       pdf["span_geom"]):
+            texts, g_y0, g_y1, g_x0, g_x1, media = [], [], [], [], [], []
+            items_sim = []
+            for sp, g in zip(spans, geom):
+                if sp["kind"] == "text":
+                    texts.append(sp["text"])
+                    g_y0.append(g["y"])
+                    g_y1.append(g["y"] + g["h"])
+                    g_x0.append(g["x0"])
+                    g_x1.append(g["x1"])
+                    items_sim.append({
+                        "text": sp["text"], "x0": g["x0"], "h": g["h"],
+                        "y_center": (2 * g["y"] + g["h"]) / 2,
+                    })
+                elif sp["kind"] == "media":
+                    media.append(sp["media_ref"])
+
+            doc_type = identify_document_type(texts)
+            ktp_vals = [None] * _N_KTP
+            rescue = (None, None)
+            sim_vals = [None] * _N_SIM
+            if doc_type == "KTP":
+                y0 = np.asarray(g_y0, dtype=np.float64)
+                y1 = np.asarray(g_y1, dtype=np.float64)
+                x0 = np.asarray(g_x0, dtype=np.float64)
+                x1 = np.asarray(g_x1, dtype=np.float64)
+                extracted = _extract_one_doc(texts, y0, y1, x0, x1)
+                rescue = _nik_rescue(texts, y0, y1, extracted.get("NIK"))
+                ktp_vals = [extracted.get(label) for label in ktp_cols]
+            elif doc_type == "SIM":
+                result = sim_core.process_sim_doc(texts, items_sim)
+                sim_vals = [result.get(f) for f in _SIM_FIELDS]
+            rows.append([doc_id, doc_type, media] + ktp_vals
+                        + list(rescue) + sim_vals)
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "doc_type", "media_refs"]
+            + list(FIELD_COLS.values())
+            + ["nik_rescue_value", "nik_rescue_conf"] + _SIM_COLS,
+        )

@@ -98,34 +98,135 @@ def run_unknown_branch(unk: DataFrame) -> DataFrame:
     )
 
 
-def run_pipeline(df: DataFrame, include_sim: bool = True) -> DataFrame:
-    """Full pipeline → (doc_id, out_spans). Branches are filters over the
-    same classified frame; Spark executes them as independent narrow
-    chains unioned at the end."""
-    src = classify_documents(with_default_geometry(df))
+def run_pipeline(df: DataFrame, include_sim: bool = True,
+                 mode: str = "kernel") -> DataFrame:
+    """Full pipeline → (doc_id, out_spans). ONE linear narrow chain — no
+    unions, no shuffles (with three filtered branches the source scan +
+    exchange + classification executed once PER BRANCH; see BENCH.md).
 
-    ktp_out = run_ktp_branch(src.filter(F.col("doc_type") == "KTP")).select(
-        "doc_id", "out_spans"
+    Two interchangeable configurations, identical outputs:
+
+    - ``mode='kernel'`` (scale default): the complete per-document
+      grammar runs inside a single Arrow batch stage (~1-2 core-ms/doc).
+      Spark's higher-order functions recompute ``dataType`` recursively
+      on every evaluation, so normalizer-chain-sized expression trees
+      cost ~85 core-ms/doc interpreted — measured, not guessed.
+    - ``mode='jvm'`` (verification): unified extraction UDF + the JVM
+      column-expression normalize chain (cleanup/repair/crossval/format)
+      with column-level doc-type gating. Independently implemented and
+      used by the span-equality gate; every operator in it is also
+      DuckDB-oracle-checked via __spark_entry__.
+    """
+    _ = include_sim  # both modes route SIM through the unified pass
+    if mode == "kernel":
+        return _run_pipeline_kernel(df)
+    return _run_pipeline_jvm(df)
+
+
+def _run_pipeline_kernel(df: DataFrame) -> DataFrame:
+    from .operators.unified_extract import (
+        FULL_KERNEL_SCHEMA,
+        full_kernel_batch,
     )
-    unk = src.filter(
-        F.col("doc_type") == "UNKNOWN"
-        if include_sim
-        else F.col("doc_type").isin("UNKNOWN", "SIM")
+
+    src = with_default_geometry(df)
+    wide = src.select("doc_id", "spans", "span_geom").mapInPandas(
+        full_kernel_batch, schema=FULL_KERNEL_SCHEMA
     )
-    unk_out = run_unknown_branch(unk)
+    is_ktp = F.col("doc_type") == "KTP"
+    is_sim = F.col("doc_type") == "SIM"
+    coalesced = wide.withColumn(
+        "document_type", F.when(is_ktp | is_sim, F.col("doc_type"))
+    )
+    assembled = ktp_post.assemble_spans(coalesced)
+    return assembled.select(
+        "doc_id",
+        F.when(is_ktp | is_sim, F.col("out_spans"))
+        .otherwise(_error_spans())
+        .alias("out_spans"),
+    )
 
-    parts = [ktp_out, unk_out]
-    if include_sim:
-        from .operators import sim_extract
 
-        sim_out = sim_extract.run_sim_branch(
-            src.filter(F.col("doc_type") == "SIM")
-        ).select("doc_id", "out_spans")
-        parts.append(sim_out)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+def _error_spans() -> F.Column:
+    return F.concat(
+        F.array(
+            F.struct(
+                F.lit("error").alias("kind"),
+                F.lit("Unknown document type").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("order"),
+            )
+        ),
+        F.transform(
+            F.coalesce(F.col("media_refs"),
+                       F.array().cast("array<string>")),
+            lambda m, i: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                m.alias("media_ref"),
+                (i + 1).cast("int").alias("order"),
+            ),
+        ),
+    ).cast(ktp_post.OUT_SPAN_TYPE)
+
+
+def _run_pipeline_jvm(df: DataFrame) -> DataFrame:
+    from .operators.unified_extract import (
+        _SIM_COLS,
+        UNIFIED_SCHEMA,
+        unified_extract_batch,
+    )
+
+    src = with_default_geometry(df)
+    wide = src.select("doc_id", "spans", "span_geom").mapInPandas(
+        unified_extract_batch, schema=UNIFIED_SCHEMA
+    )
+    pt = ("doc_type", *_SIM_COLS)
+    cleaned = ktp_post.apply_cleanup(wide, passthrough=pt)
+    repaired = ktp_post.apply_repair(cleaned)
+    validated = ktp_post.apply_crossval(repaired)
+    formatted = ktp_post.apply_format(validated, passthrough=pt)
+
+    is_ktp = F.col("doc_type") == "KTP"
+    is_sim = F.col("doc_type") == "SIM"
+    coalesced = formatted.withColumns({
+        **{
+            col: F.when(is_ktp, F.col(col)).when(
+                is_sim, F.col("sim_" + col))
+            for name, col in ktp_post._OUT_COLS.items()
+            if name != "document_type"
+        },
+        "document_type": F.when(is_ktp | is_sim, F.col("doc_type")),
+    })
+    assembled = ktp_post.assemble_spans(coalesced)
+
+    error_spans = F.concat(
+        F.array(
+            F.struct(
+                F.lit("error").alias("kind"),
+                F.lit("Unknown document type").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("order"),
+            )
+        ),
+        F.transform(
+            F.coalesce(F.col("media_refs"),
+                       F.array().cast("array<string>")),
+            lambda m, i: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                m.alias("media_ref"),
+                (i + 1).cast("int").alias("order"),
+            ),
+        ),
+    ).cast(ktp_post.OUT_SPAN_TYPE)
+
+    return assembled.select(
+        "doc_id",
+        F.when(is_ktp | is_sim, F.col("out_spans"))
+        .otherwise(error_spans)
+        .alias("out_spans"),
+    )
 
 
 def run_pipeline_fields(df: DataFrame) -> DataFrame:

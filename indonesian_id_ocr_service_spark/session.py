@@ -31,9 +31,18 @@ def build_session(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Pin the heap and use the throughput collector: under the
+        # normalizer chains' allocation rate, G1's region
+        # uncommit/recommit had this kernel zero-filling pages from GC
+        # worker threads — observed ~28 of 32 cores in system time with
+        # executor threads idle; ParallelGC + Xms=Xmx runs the same job
+        # at 100% user CPU.
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{driver_mem} -XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -42,8 +51,7 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # Per-document work is compute-heavy (pandas UDF extraction), so
         # input splits must target CORES, not IO: the defaults
@@ -53,6 +61,13 @@ def build_session(
         # these knobs only matter for small/medium inputs.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # Spark 4's ICU-backed case mapping pays a multi-minute
+        # single-threaded CollationAwareUTF8String static init on the
+        # first upper()/lower() — it serialized the whole cluster on
+        # first touch (observed: 32 executor threads blocked ~340 s on
+        # the class-init monitor). JVM case mapping is correct for this
+        # ASCII corpus and matches Python str.upper() in the oracle.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -47,10 +47,10 @@ def extraction_metrics(fields_df: DataFrame) -> DataFrame:
         for name, w in FIELD_WEIGHTS.items()
     ]
     nik = F.col("nomor")
-    prov = F.substring(nik, 1, 2).try_cast("int")
-    day = F.substring(nik, 7, 2).try_cast("int")
-    month = F.substring(nik, 9, 2).try_cast("int")
-    seq = F.substring(nik, 13, 4).try_cast("int")
+    prov = F.substring(nik, 1, 2).cast("int")
+    day = F.substring(nik, 7, 2).cast("int")
+    month = F.substring(nik, 9, 2).cast("int")
+    seq = F.substring(nik, 13, 4).cast("int")
     nik16 = nik.isNotNull() & nik.rlike(r"^\d{16}$")
     bonus = (
         F.when((prov >= 11) & (prov <= 94), 0.03).otherwise(-0.05)

@@ -26,7 +26,8 @@ def _oracle_spans(i: int, fractions):
     return d.doc_id, ktp_oracle.process_document(d.doc_id, spans, geom)
 
 
-def _run_equality(spark, fractions, n_docs=N_DOCS, include_sim=False):
+def _run_equality(spark, fractions, n_docs=N_DOCS, include_sim=False,
+                  mode="jvm"):
     rows = list(doc_rows(n_docs, fractions=fractions))
     df = spark.createDataFrame(
         rows, "doc_id string, "
@@ -38,7 +39,8 @@ def _run_equality(spark, fractions, n_docs=N_DOCS, include_sim=False):
             (s["kind"], s["text"], s["media_ref"], s["order"])
             for s in sorted(r["out_spans"], key=lambda s: s["order"])
         ]
-        for r in run_pipeline(df, include_sim=include_sim).collect()
+        for r in run_pipeline(df, include_sim=include_sim,
+                              mode=mode).collect()
     }
     n_bad = 0
     for i in range(n_docs):
@@ -60,11 +62,21 @@ def _run_equality(spark, fractions, n_docs=N_DOCS, include_sim=False):
     assert n_bad == 0, f"{n_bad}/{n_docs} documents mismatched"
 
 
-def test_ktp_span_equality(spark):
-    """KTP + UNKNOWN mix (SIM branch exercised separately)."""
-    _run_equality(spark, fractions=(0.9, 0.0, 0.1))
+def test_ktp_span_equality_jvm(spark):
+    """KTP + UNKNOWN mix through the JVM verification mode — the
+    independent-implementation check (extraction UDF + JVM normalize
+    chain vs the pure-Python oracle)."""
+    _run_equality(spark, fractions=(0.9, 0.0, 0.1), mode="jvm")
 
 
-def test_full_mix_span_equality(spark):
-    """Full corpus mix incl. the SIM branch (FIXTURES.md fractions)."""
-    _run_equality(spark, fractions=(0.6, 0.3, 0.1), include_sim=True)
+def test_full_mix_span_equality_jvm(spark):
+    """Full corpus mix incl. the SIM branch, JVM mode."""
+    _run_equality(spark, fractions=(0.6, 0.3, 0.1), include_sim=True,
+                  mode="jvm")
+
+
+def test_full_mix_span_equality_kernel(spark):
+    """Scale configuration (Arrow kernel): same outputs, validates the
+    kernel plumbing + independent spatial extractor end-to-end."""
+    _run_equality(spark, fractions=(0.6, 0.3, 0.1), include_sim=True,
+                  mode="kernel")

@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from indonesian_id_ocr_service_spark.functions import dates as DT
     from indonesian_id_ocr_service_spark.functions import nik as NK
 
+    Q.ensure_session_conf(spark)
     sf_dir = "/root/testdata/sf0.001"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 

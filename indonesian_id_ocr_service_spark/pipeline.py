@@ -117,6 +117,9 @@ def run_pipeline(df: DataFrame, include_sim: bool = True,
       used by the span-equality gate; every operator in it is also
       DuckDB-oracle-checked via __spark_entry__.
     """
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(df.sparkSession)
     _ = include_sim  # both modes route SIM through the unified pass
     if mode == "kernel":
         return _run_pipeline_kernel(df)

@@ -30,7 +30,25 @@ from .operators import classify
 # ---------------------------------------------------------------------------
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """The engine's expressions assume permissive (non-ANSI) cast
+    semantics — null on malformed input, matching the reference's
+    never-raise contract — and avoid Spark 4's ICU case-mapping
+    static-init stall. Applied defensively for sessions not built by
+    ``session.build_session`` (e.g. the driver's own)."""
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.icu.caseMappings.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -18,6 +18,9 @@ from .operators import similarity as SIM
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -179,6 +182,9 @@ FROM bits GROUP BY doc_id
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk(emb, queries, k=3).orderBy("query_id", "rn")
@@ -338,6 +344,9 @@ FROM t ORDER BY doc_id
 
 
 def q_embedding_norms(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = F.col("embedding").cast("array<double>")
     return (

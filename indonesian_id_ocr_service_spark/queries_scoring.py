@@ -39,6 +39,9 @@ def _pick(k, options):
 
 
 def q_confidence_scoring(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey")
     nik_valid = F.format_string(

@@ -1,0 +1,90 @@
+"""Property tests (SURVEY §5): partitioning determinism and
+noise-repair round-trips."""
+
+from __future__ import annotations
+
+import random
+
+from indonesian_id_ocr_service_spark.corpus.generator import doc_rows
+from indonesian_id_ocr_service_spark.oracle import scalars as S
+from indonesian_id_ocr_service_spark.pipeline import run_pipeline
+
+SCHEMA = ("doc_id string, "
+          "spans array<struct<kind:string,text:string,media_ref:string,"
+          "offset:int>>, "
+          "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+
+
+def test_output_invariant_under_partitioning(spark):
+    """Same corpus, radically different partitioning → identical span
+    outputs (candidate ranking and greedy claiming are per-document, so
+    no ordering leak is possible; this asserts it)."""
+    rows = list(doc_rows(80, fractions=(0.7, 0.2, 0.1)))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    def run(parts):
+        out = run_pipeline(df.repartition(parts))
+        return {
+            r["doc_id"]: [tuple(s) for s in
+                          sorted(r["out_spans"],
+                                 key=lambda s: s["order"])]
+            for r in out.collect()
+        }
+
+    assert run(1) == run(13)
+
+
+def test_nik_noise_roundtrip():
+    """In-distribution OCR noise (reverse char-substitution) on a
+    structurally-valid NIK must repair back to the original through the
+    candidate engine."""
+    from indonesian_id_ocr_service_spark.dictionaries import TO_DIGIT
+
+    inverse: dict[str, list[str]] = {}
+    for letter, digit in TO_DIGIT.items():
+        inverse.setdefault(digit, []).append(letter)
+    rng = random.Random(99)
+    ok = 0
+    total = 200
+    for _ in range(total):
+        prov = rng.choice([11, 31, 32, 33, 35, 51, 73])
+        nik = (f"{prov:02d}{rng.randint(1, 99):02d}"
+               f"{rng.randint(1, 99):02d}{rng.randint(1, 28):02d}"
+               f"{rng.randint(1, 12):02d}{rng.randint(0, 99):02d}"
+               f"{rng.randint(1, 9999):04d}")
+        noisy = list(nik)
+        for i in rng.sample(range(16), rng.randint(1, 3)):
+            noisy[i] = rng.choice(inverse[noisy[i]])
+        cand = S.nik_best_candidate("".join(noisy))
+        if cand and cand["value"] == nik:
+            ok += 1
+    # char-sub noise is exactly what the engine's tier 2 inverts
+    assert ok == total, f"only {ok}/{total} repaired"
+
+
+def test_date_noise_roundtrip():
+    """Separator corruption + char-sub noise on valid dates must
+    normalize back to the canonical DD-MM-YYYY."""
+    rng = random.Random(5)
+    sub_inv = {"0": "O", "1": "I", "5": "S", "8": "B"}
+    ok = 0
+    total = 200
+    for _ in range(total):
+        d, m, y = rng.randint(1, 28), rng.randint(1, 12), \
+            rng.randint(1930, 2005)
+        canonical = f"{d:02d}-{m:02d}-{y:04d}"
+        roll = rng.random()
+        if roll < 0.4:
+            noisy = canonical.replace("-", " ")
+        elif roll < 0.7:
+            chars = list(canonical)
+            idxs = [i for i, c in enumerate(chars) if c in sub_inv]
+            for i in rng.sample(idxs, min(2, len(idxs))):
+                chars[i] = sub_inv[chars[i]]
+            noisy = "".join(chars)
+        else:
+            noisy = canonical.replace("-", ".")
+        assert S.normalize_date_robust(noisy) == canonical, (
+            noisy, canonical)
+        ok += 1
+    assert ok == total

@@ -39,11 +39,11 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         fp.groupBy("fp").count()
         .agg(
             F.count("*").alias("n_distinct"),
-            F.sum("count").alias("n_docs"),
-            F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias(
-                "n_dup_groups"),
+            F.sum("count").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("count") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_groups"),
             F.sum(F.when(F.col("count") > 1, F.col("count") - 1)
-                  .otherwise(0)).alias("n_removable"),
+                  .otherwise(0)).cast("long").alias("n_removable"),
         )
     )
 

@@ -79,9 +79,11 @@ WITH docs AS ({_DOCS_DUPS_SQL}),
 fp AS (SELECT md5({_NORM_SQL}) AS h FROM docs),
 g AS (SELECT h, count(*) AS c FROM fp GROUP BY h)
 SELECT count(*) AS n_distinct,
-       sum(c) AS n_docs,
-       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-       sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS n_removable
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+         AS n_removable
 FROM g
 """
 

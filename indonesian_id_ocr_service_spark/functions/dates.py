@@ -201,8 +201,7 @@ def _build_from_pattern(src: Column, pat: str, base_conf: Column,
     )
 
 
-def _standard(text: Column, conf_scale: float = 1.0,
-              method_prefix: str = "") -> Column:
+def _standard(text: Column) -> Column:
     """Strategy 1 (date_normalizer.py:126-146): strict then embedded
     DD-MM-YYYY on the separator-collapsed string. A matched-but-invalid
     strict pattern does NOT fall through to embedded (the reference
@@ -215,33 +214,47 @@ def _standard(text: Column, conf_scale: float = 1.0,
         return F.when(
             strict.rlike(strict_pat),
             _build_from_pattern(
-                strict, strict_pat, F.lit(0.97 * conf_scale),
-                F.lit(method_prefix + "strict_dd_mm_yyyy"),
+                strict, strict_pat, F.lit(0.97),
+                F.lit("strict_dd_mm_yyyy"),
             ),
         ).otherwise(
             _build_from_pattern(
-                clean, emb_pat, F.lit(0.90 * conf_scale),
-                F.lit(method_prefix + "embedded_dd_mm_yyyy"),
+                clean, emb_pat, F.lit(0.90),
+                F.lit("embedded_dd_mm_yyyy"),
             )
         )
 
     return let(_collapse(text), body)
 
 
+def _rescale(res: Column, scale: float, prefix: str) -> Column:
+    """Reference semantics for the charsub / 7digit wrappers
+    (date_normalizer.py:148-158,192-215): the ×scale and method prefix
+    apply to the FINISHED result, after the build's own year_repair_
+    prefix — 'char_sub_year_repair_strict…', not the other order.
+    Null-safe: withField on a null struct stays null."""
+    return let(
+        res,
+        lambda r: r.withField(
+            "confidence", r["confidence"] * F.lit(scale)
+        ).withField("method", F.concat(F.lit(prefix), r["method"])),
+    )
+
+
 def _charsub(text: Column) -> Column:
     """Strategy 2 (date_normalizer.py:148-158): char-sub then standard,
-    ×0.88 — only when substitution changed the string."""
+    ×0.88 + 'char_sub_' on the finished result — only when substitution
+    changed the string."""
     return let(
         sub_date_chars(text),
         lambda sub: F.when(
             sub != text,
-            _standard(sub, conf_scale=0.88, method_prefix="char_sub_"),
+            _rescale(_standard(sub), 0.88, "char_sub_"),
         ).otherwise(_null_result()),
     )
 
 
-def _three_digit_year(text: Column, conf_scale: float = 1.0,
-                      method_prefix: str = "") -> Column:
+def _three_digit_year(text: Column) -> Column:
     """Strategy 3 (date_normalizer.py:160-190)."""
     pat = r"(\d{1,2})-(\d{1,2})-(\d{3})$"
 
@@ -274,8 +287,8 @@ def _three_digit_year(text: Column, conf_scale: float = 1.0,
                 lambda y_full, cf: F.when(
                     (g["y3"] != "") & y_full.isNotNull(),
                     _build(
-                        g["d"], g["m"], y_full, cf * conf_scale,
-                        F.lit(method_prefix + "3digit_year_recon"),
+                        g["d"], g["m"], y_full, cf,
+                        F.lit("3digit_year_recon"),
                     ),
                 ).otherwise(_null_result()),
             )
@@ -296,8 +309,7 @@ def _seven_digit(text: Column) -> Column:
             F.substring(digits, 3, 2),
             F.substring(digits, 5, 3),
         )
-        r1 = _three_digit_year(interp1_src, conf_scale=0.82,
-                               method_prefix="7digit_")
+        r1 = _rescale(_three_digit_year(interp1_src), 0.82, "7digit_")
         r2 = _build(
             F.concat(F.lit("0"), F.substring(digits, 1, 1)),
             F.substring(digits, 2, 2),

@@ -346,35 +346,30 @@ def _pad_nik_with_dob(digits15: Column, expected: Column) -> Column:
             ),
         )
 
-    cands = F.array_compact(
-        F.array(
-            F.when(
-                sig1,
-                F.struct(
-                    F.lit(0).alias("prio"),
-                    F.concat(F.lit("0"), digits15).alias("value"),
-                ),
+    # Priorities are pairwise distinct (0; d*16+p for p in 6..11; 12), so
+    # a struct-ordered least == the reference's first-hit search order.
+    # F.least skips nulls and is plain codegen — no higher-order
+    # functions (whose per-eval dataType recursion runs interpreted).
+    best = F.least(
+        F.when(
+            sig1,
+            F.struct(
+                F.lit(0).alias("prio"),
+                F.concat(F.lit("0"), digits15).alias("value"),
             ),
-            *[case3(p) for p in range(6, 12)],
-            F.when(
-                sig2,
-                F.struct(
-                    F.lit(12).alias("prio"),
-                    F.concat(
-                        F.substring(digits15, 1, 12),
-                        F.lit("0"),
-                        F.substr(digits15, F.lit(13)),
-                    ).alias("value"),
-                ),
+        ),
+        *[case3(p) for p in range(6, 12)],
+        F.when(
+            sig2,
+            F.struct(
+                F.lit(12).alias("prio"),
+                F.concat(
+                    F.substring(digits15, 1, 12),
+                    F.lit("0"),
+                    F.substr(digits15, F.lit(13)),
+                ).alias("value"),
             ),
-        )
-    )
-    best = F.aggregate(
-        cands,
-        F.lit(None).cast("struct<prio:int,value:string>"),
-        lambda acc, x: F.when(
-            acc.isNull() | (x["prio"] < acc["prio"]), x
-        ).otherwise(acc),
+        ),
     )
     return best["value"]
 

@@ -180,16 +180,45 @@ def _date_str(col: str = "o_orderdate") -> F.Column:
     return F.date_format(F.col(col), "dd-MM-yyyy")
 
 
+def _date_query(df: DataFrame, raw: F.Column,
+                with_method: bool = True) -> DataFrame:
+    """normalize_date over a raw column via the vectorized Arrow kernel
+    (functions/pandas_dates.py — the pipeline's scale path; the JVM
+    expression forms in dates.py / dates_df.py are parity-tested
+    verification paths, see dates_df.py for why they lose here).
+    Shuffle-free: mapInPandas over the scan partitions."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from .functions.pandas_dates import normalize_date_frame
+
+        for pdf in batches:
+            res = normalize_date_frame(pdf["raw"])
+            yield pd.DataFrame({
+                "raw": pdf["raw"],
+                "normalized": res["normalized"],
+                "confidence": res["confidence"],
+                "method": res["method"],
+            })
+
+    out = df.select(raw.alias("raw")).mapInPandas(
+        gen, "raw string, normalized string, confidence double, "
+             "method string")
+    cols = [
+        F.col("raw"),
+        F.col("normalized"),
+        F.round(F.col("confidence"), 6).alias("confidence"),
+    ]
+    if with_method:
+        cols.append(F.col("method"))
+    return out.select(*cols)
+
+
 def q_date_standard(spark, sf_dir):
     df = _read(spark, sf_dir, "orders")
     raw = F.replace(_date_str(), F.lit("-"), F.lit(" "))
-    d = DT.normalize_date(raw)
-    return df.select(
-        raw.alias("raw"),
-        d["normalized"].alias("normalized"),
-        F.round(d["confidence"], 6).alias("confidence"),
-        d["method"].alias("method"),
-    )
+    return _date_query(df, raw)
 
 
 SQL_DATE_STANDARD = """
@@ -231,13 +260,7 @@ def q_date_3digit_year(spark, sf_dir):
         F.year("o_orderdate") < 1999)
     raw = F.concat(F.substring(_date_str(), 1, 6),
                    F.substring(_date_str(), 8, 3))
-    d = DT.normalize_date(raw)
-    return df.select(
-        raw.alias("raw"),
-        d["normalized"].alias("normalized"),
-        F.round(d["confidence"], 6).alias("confidence"),
-        d["method"].alias("method"),
-    )
+    return _date_query(df, raw)
 
 
 SQL_DATE_3DIGIT = """
@@ -278,13 +301,7 @@ def q_year_repair(spark, sf_dir):
     df = _read(spark, sf_dir, "orders").filter(
         F.year("o_orderdate") < 1999)
     raw = F.replace(_date_str(), F.lit("-19"), F.lit("-13"))
-    d = DT.normalize_date(raw)
-    return df.select(
-        raw.alias("raw"),
-        d["normalized"].alias("normalized"),
-        F.round(d["confidence"], 6).alias("confidence"),
-        d["method"].alias("method"),
-    )
+    return _date_query(df, raw)
 
 
 SQL_YEAR_REPAIR = """
@@ -331,12 +348,7 @@ def q_date_month_validation(spark, sf_dir):
     d ≤ 12 simultaneously — so the month gate is what decides here.)"""
     df = _read(spark, sf_dir, "orders")
     raw = F.date_format(F.col("o_orderdate"), "MM-dd-yyyy")
-    d = DT.normalize_date(raw)
-    return df.select(
-        raw.alias("raw"),
-        d["normalized"].alias("normalized"),
-        F.round(d["confidence"], 6).alias("confidence"),
-    )
+    return _date_query(df, raw, with_method=False)
 
 
 SQL_DATE_MONTH_VALIDATION = """

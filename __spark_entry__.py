@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nik_decode": Q.q_nik_decode,
         "pad_nik_dob": Q.q_pad_nik_dob,
         "confidence_scoring": QS.q_confidence_scoring,
+        "ocr_confidence": QS.q_ocr_confidence,
         # §2.8 relational shapes
         "top1_per_group": Q.q_top1_per_group,
         "broadcast_dim_join": Q.q_broadcast_dim_join,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "nik_decode": Q.SQL_NIK_DECODE,
         "pad_nik_dob": Q.SQL_PAD_NIK_DOB,
         "confidence_scoring": QS.SQL_CONFIDENCE_SCORING,
+        "ocr_confidence": QS.SQL_OCR_CONFIDENCE,
         "top1_per_group": Q.SQL_TOP1_PER_GROUP,
         "broadcast_dim_join": Q.SQL_BROADCAST_DIM_JOIN,
         "weighted_completeness": Q.SQL_WEIGHTED_COMPLETENESS,

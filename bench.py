@@ -83,7 +83,8 @@ def main() -> None:
 
     # ---- pipeline bench: corpus materialized first (input prep), then
     # the extraction timed end-to-end reading from parquet ----
-    corpus_path = f"/tmp/bench_corpus_{n_docs}"
+    # v2: corpus schema carries span_conf + the alternative OCR view
+    corpus_path = f"/tmp/bench_corpus_v2_{n_docs}"
     if not os.path.exists(corpus_path):
         corpus_df(spark, n_docs, partitions=cpus * 2).write.mode(
             "overwrite").parquet(corpus_path)

@@ -90,34 +90,67 @@ _PROV_LIST = sorted(PROVINCES)
 _KOTA_LIST = sorted(KOTA)
 _PROV_CODES = sorted(VALID_PROVINCE_CODES)
 
+SPAN_STRUCT_DDL = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+GEOM_STRUCT_DDL = "array<struct<y:int,x0:int,x1:int,h:int>>"
+
 SPAN_SCHEMA_DDL = (
     "doc_id string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "span_geom array<struct<y:int,x0:int,x1:int,h:int>>"
+    f"spans {SPAN_STRUCT_DDL}, "
+    f"span_geom {GEOM_STRUCT_DDL}, "
+    "span_conf array<double>, "
+    f"spans_alt {SPAN_STRUCT_DDL}, "
+    f"alt_geom {GEOM_STRUCT_DDL}"
 )
 
 
 @dataclass
 class _Doc:
+    """Primary OCR view (spans/geom/conf) plus an optional alternative
+    view (alt_*) modelling the reference's re-OCR of the raw image (the
+    C3 UNKNOWN retry and the C6 SmartSIM second pass). ``begin_alt()``
+    redirects subsequent add_* calls into the alternative view."""
+
     doc_id: str
     spans: list = field(default_factory=list)   # (kind, text, media_ref, offset)
     geom: list = field(default_factory=list)    # (y, x0, x1, h)
+    conf: list = field(default_factory=list)    # per-span OCR confidence
+    alt_spans: list = field(default_factory=list)
+    alt_geom: list = field(default_factory=list)
     truth: dict = field(default_factory=dict)
     doc_class: str = "KTP"
+    conf_range: tuple = (0.88, 0.99)
+    _alt: bool = False
+
+    def begin_alt(self) -> None:
+        self._alt = True
+
+    def _target(self):
+        if self._alt:
+            return self.alt_spans, self.alt_geom, None
+        return self.spans, self.geom, self.conf
 
     def add_text(self, text: str, y: int, x0: int, rng: random.Random,
-                 h: int = 22) -> None:
-        i = len(self.spans)
+                 h: int = 22, conf: float = None) -> None:
+        spans, geom, confs = self._target()
+        i = len(spans)
         x1 = x0 + 9 * max(len(text), 1)
-        self.spans.append(("text", text, "", i))
-        self.geom.append((y + rng.randint(0, 4), x0, x1, h))
+        spans.append(("text", text, "", i))
+        geom.append((y + rng.randint(0, 4), x0, x1, h))
+        if confs is not None:
+            confs.append(round(
+                rng.uniform(*self.conf_range) if conf is None else conf, 4))
 
     def add_media(self, tag: str, y: int) -> None:
-        i = len(self.spans)
-        self.spans.append(
+        spans, geom, confs = self._target()
+        i = len(spans)
+        spans.append(
             ("media", "", f"media://{self.doc_id}/{tag}/{i}", i)
         )
-        self.geom.append((y, 820, 980, 160))
+        geom.append((y, 820, 980, 160))
+        if confs is not None:
+            confs.append(0.0)
 
 
 def _noise_digits_to_letters(s: str, rng: random.Random, n: int = 1) -> str:
@@ -296,73 +329,150 @@ def _gen_ktp(doc: _Doc, rng: random.Random) -> None:
         doc.add_media("sig", y + 30 * k)
 
 
-def _gen_sim(doc: _Doc, rng: random.Random) -> None:
-    nik, gender, day, month, year = _make_nik(rng)
-    name = f"{rng.choice(_FIRST_NAMES)} {rng.choice(_LAST_NAMES)}"
-    birth_place = rng.choice(_KOTA_LIST)
-    date_str = f"{day:02d}-{month:02d}-{year:04d}"
-    simno = (f"{rng.randint(1000, 9999)}-{rng.randint(1000, 9999)}-"
-             f"{rng.randint(10000, 999999)}")
-    expiry = (f"{rng.randint(1, 28):02d}-{rng.randint(1, 12):02d}-"
-              f"{rng.randint(2022, 2029)}")
-    street = f"{rng.choice(_STREETS)} NO. {rng.randint(1, 99)}"
-    rt, rw = rng.randint(1, 20), rng.randint(1, 15)
-    village = rng.choice(_VILLAGES)
-    kec = rng.choice(_KECAMATAN)
-    kab = rng.choice(_KOTA_LIST)
-    job = rng.choice(_PEKERJAAN)
-    legacy = rng.random() < 0.5
-    goldar = rng.choice(["A", "B", "AB", "O"])
-    jk_word = "PRIA" if gender == "LAKI-LAKI" else "WANITA"
-
-    doc.truth = {
-        "document_type": "SIM", "nomor": simno, "nama": name,
-        "tempat_lahir": birth_place, "tgl_lahir": date_str,
-        "jenis_kelamin": jk_word, "pekerjaan": job,
-        "berlaku_sampai": expiry,
-        "alamat.name": street, "alamat.rt_rw": f"{rt:02d}/{rw:02d}",
-        "alamat.kel_desa": village, "alamat.kecamatan": kec,
-        "alamat.kabupaten": f"KOTA {kab}",
-    }
-    doc.doc_class = "SIM"
-
+def _emit_sim_layout(doc: _Doc, rng: random.Random, v: dict,
+                     legacy: bool, drop: frozenset = frozenset(),
+                     media: bool = True) -> None:
+    """Emit one OCR view of a SIM card into the doc's current target.
+    ``drop`` removes value lines to model a weaker OCR pass (drives the
+    C6 completeness gate)."""
     y = 10
-    doc.add_media("photo", y)
+    if media:
+        doc.add_media("photo", y)
     doc.add_text("INDONESIA", y, 300, rng)
     y += 28
     doc.add_text("SURAT IZIN MENGEMUDI", y, 220, rng)
     y += 28
-    doc.add_text(f"SIM A {simno}", y, 240, rng)
+    doc.add_text(f"SIM A {v['simno']}", y, 240, rng)
     y += 30
     if legacy:
-        doc.add_text(f"1. {name}", y, 30, rng); y += 28
-        doc.add_text(f"2. {birth_place}, {date_str}", y, 30, rng); y += 28
-        doc.add_text(f"3. {goldar} - {jk_word}", y, 30, rng); y += 28
-        doc.add_text(f"4. {street}", y, 30, rng); y += 26
-        doc.add_text(f"RT {rt:02d} RW {rw:02d} {village}", y, 40, rng); y += 26
-        doc.add_text(f"KEC. {kec} KOTA {kab}", y, 40, rng); y += 28
-        doc.add_text(f"5. {job}", y, 30, rng); y += 28
-        doc.add_text(f"6. {rng.choice(_KOTA_LIST)}", y, 30, rng); y += 28
+        if "name" not in drop:
+            doc.add_text(f"1. {v['name']}", y, 30, rng); y += 28
+        if "ttl" not in drop:
+            doc.add_text(f"2. {v['birth_place']}, {v['date_str']}",
+                         y, 30, rng); y += 28
+        if "jk" not in drop:
+            doc.add_text(f"3. {v['goldar']} - {v['jk_word']}",
+                         y, 30, rng); y += 28
+        if "addr" not in drop:
+            doc.add_text(f"4. {v['street']}", y, 30, rng); y += 26
+            doc.add_text(
+                f"RT {v['rt']:02d} RW {v['rw']:02d} {v['village']}",
+                y, 40, rng); y += 26
+            doc.add_text(f"KEC. {v['kec']} KOTA {v['kab']}",
+                         y, 40, rng); y += 28
+        if "job" not in drop:
+            doc.add_text(f"5. {v['job']}", y, 30, rng); y += 28
+        if "city6" not in drop:
+            doc.add_text(f"6. {v['city6']}", y, 30, rng); y += 28
     else:
-        doc.add_text("Nama", y, 30, rng)
-        doc.add_text(name, y, 200, rng); y += 28
-        doc.add_text("Tempat & Tgl. Lahir", y, 30, rng)
-        doc.add_text(f"{birth_place}, {date_str}", y, 240, rng); y += 28
-        doc.add_text("Gol. Darah - Jenis Kelamin", y, 30, rng)
-        doc.add_text(f"{goldar} - {jk_word}", y, 300, rng); y += 28
-        doc.add_text("Alamat", y, 30, rng)
-        doc.add_text(street, y, 200, rng); y += 26
-        doc.add_text(f"RT. {rt:02d} RW. {rw:02d} KEL. {village}", y, 200, rng)
-        y += 26
-        doc.add_text(f"KEC. {kec} KOTA {kab}", y, 200, rng); y += 28
-        doc.add_text("Pekerjaan", y, 30, rng)
-        doc.add_text(job, y, 200, rng); y += 28
-    doc.add_text(f"BERLAKU SAMPAI {expiry}", y, 30, rng)
+        if "name" not in drop:
+            doc.add_text("Nama", y, 30, rng)
+            doc.add_text(v["name"], y, 200, rng); y += 28
+        if "ttl" not in drop:
+            doc.add_text("Tempat & Tgl. Lahir", y, 30, rng)
+            doc.add_text(f"{v['birth_place']}, {v['date_str']}",
+                         y, 240, rng); y += 28
+        if "jk" not in drop:
+            doc.add_text("Gol. Darah - Jenis Kelamin", y, 30, rng)
+            doc.add_text(f"{v['goldar']} - {v['jk_word']}",
+                         y, 300, rng); y += 28
+        if "addr" not in drop:
+            doc.add_text("Alamat", y, 30, rng)
+            doc.add_text(v["street"], y, 200, rng); y += 26
+            doc.add_text(
+                f"RT. {v['rt']:02d} RW. {v['rw']:02d} "
+                f"KEL. {v['village']}", y, 200, rng)
+            y += 26
+            doc.add_text(f"KEC. {v['kec']} KOTA {v['kab']}",
+                         y, 200, rng); y += 28
+        if "job" not in drop:
+            doc.add_text("Pekerjaan", y, 30, rng)
+            doc.add_text(v["job"], y, 200, rng); y += 28
+    if "expiry" not in drop:
+        doc.add_text(f"BERLAKU SAMPAI {v['expiry']}", y, 30, rng)
+        y += 28
+    doc.add_text("POLDA METRO JAYA", y, 30, rng)
     y += 28
-    doc.add_text(f"POLDA METRO JAYA", y, 30, rng)
-    y += 28
-    if rng.random() < 0.2:
+    if media and rng.random() < 0.2:
         doc.add_media("sig", y)
+
+
+def _gen_sim(doc: _Doc, rng: random.Random) -> None:
+    nik, gender, day, month, year = _make_nik(rng)
+    v = {
+        "name": f"{rng.choice(_FIRST_NAMES)} {rng.choice(_LAST_NAMES)}",
+        "birth_place": rng.choice(_KOTA_LIST),
+        "date_str": f"{day:02d}-{month:02d}-{year:04d}",
+        "simno": (f"{rng.randint(1000, 9999)}-{rng.randint(1000, 9999)}-"
+                  f"{rng.randint(10000, 999999)}"),
+        "expiry": (f"{rng.randint(1, 28):02d}-{rng.randint(1, 12):02d}-"
+                   f"{rng.randint(2022, 2029)}"),
+        "street": f"{rng.choice(_STREETS)} NO. {rng.randint(1, 99)}",
+        "rt": rng.randint(1, 20), "rw": rng.randint(1, 15),
+        "village": rng.choice(_VILLAGES),
+        "kec": rng.choice(_KECAMATAN),
+        "kab": rng.choice(_KOTA_LIST),
+        "job": rng.choice(_PEKERJAAN),
+        "goldar": rng.choice(["A", "B", "AB", "O"]),
+        "jk_word": "PRIA" if gender == "LAKI-LAKI" else "WANITA",
+        "city6": rng.choice(_KOTA_LIST),
+    }
+    legacy = rng.random() < 0.5
+
+    truth_full = {
+        "document_type": "SIM", "nomor": v["simno"], "nama": v["name"],
+        "tempat_lahir": v["birth_place"], "tgl_lahir": v["date_str"],
+        "jenis_kelamin": v["jk_word"], "pekerjaan": v["job"],
+        "berlaku_sampai": v["expiry"],
+        "alamat.name": v["street"],
+        "alamat.rt_rw": f"{v['rt']:02d}/{v['rw']:02d}",
+        "alamat.kel_desa": v["village"], "alamat.kecamatan": v["kec"],
+        "alamat.kabupaten": f"KOTA {v['kab']}",
+    }
+    doc.truth = truth_full
+    doc.doc_class = "SIM"
+
+    # C6 two-pass scenarios (document_processor.py:421-440)
+    scenario = rng.random()
+    if not legacy:
+        # SMART version — the gate always fires; the second (SmartSIM-
+        # preprocessed) view is the cleaner one, sometimes recovering a
+        # value line the standard pass missed
+        drop_std = frozenset({"job"}) if scenario < 0.4 else frozenset()
+        _emit_sim_layout(doc, rng, v, legacy=False, drop=drop_std)
+        doc.begin_alt()
+        _emit_sim_layout(doc, rng, v, legacy=False, media=False)
+    elif scenario < 0.55:
+        # plain legacy card, single view
+        _emit_sim_layout(doc, rng, v, legacy=True)
+    elif scenario < 0.75:
+        # weak std pass (completeness 3.0 < 4.0: name + address lines
+        # lost) + good raw re-pass — the gate keeps the second pass and
+        # back-fills from the first
+        _emit_sim_layout(doc, rng, v, legacy=True,
+                         drop=frozenset({"name", "addr"}))
+        doc.begin_alt()
+        _emit_sim_layout(doc, rng, v, legacy=True, media=False)
+    elif scenario < 0.88:
+        # weak std pass (3.0) but the re-pass is even worse (1.0) —
+        # gate runs the second pass and keeps std
+        _emit_sim_layout(doc, rng, v, legacy=True,
+                         drop=frozenset({"name", "addr"}))
+        doc.begin_alt()
+        _emit_sim_layout(doc, rng, v, legacy=True, media=False,
+                         drop=frozenset({"ttl", "job", "expiry",
+                                         "city6"}))
+        doc.truth = {k: val for k, val in truth_full.items()
+                     if k in ("document_type", "nomor", "tempat_lahir",
+                              "tgl_lahir", "jenis_kelamin",
+                              "pekerjaan", "berlaku_sampai")}
+    else:
+        # full std pass but low OCR confidence (C2 mean < 0.70) — the
+        # conf term of the gate fires; both views complete → merge
+        doc.conf_range = (0.40, 0.65)
+        _emit_sim_layout(doc, rng, v, legacy=True)
+        doc.begin_alt()
+        _emit_sim_layout(doc, rng, v, legacy=True, media=False)
 
 
 def _gen_unknown(doc: _Doc, rng: random.Random) -> None:
@@ -378,6 +488,13 @@ def _gen_unknown(doc: _Doc, rng: random.Random) -> None:
         n = rng.randint(2, 5)
         doc.add_text(" ".join(rng.choice(words) for _ in range(n)),
                      y + 30 * (k + 1), 30, rng)
+    # C3 UNKNOWN retry (document_processor.py:279-287): the quick pass
+    # saw only junk, but re-OCR of the raw image reveals a real KTP —
+    # the retry reclassifies and processes the raw view
+    if rng.random() < 0.35:
+        doc.begin_alt()
+        _gen_ktp(doc, rng)            # emits into the alt view
+        doc.doc_class = "KTP_VIA_RETRY"
 
 
 def generate_doc(index: int, seed: int = SEED,
@@ -397,18 +514,26 @@ def generate_doc(index: int, seed: int = SEED,
     return doc
 
 
+def _span_dicts(spans):
+    return [{"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in spans]
+
+
+def _geom_dicts(geom):
+    return [{"y": y, "x0": x0, "x1": x1, "h": h}
+            for (y, x0, x1, h) in geom]
+
+
 def doc_rows(n_docs: int, seed: int = SEED,
              fractions: tuple[float, float, float] = (0.6, 0.3, 0.1),
              start: int = 0):
-    """Yield (doc_id, spans, span_geom) tuples for Spark createDataFrame
-    or pandas construction."""
+    """Yield (doc_id, spans, span_geom, span_conf, spans_alt, alt_geom)
+    tuples for Spark createDataFrame or pandas construction."""
     for i in range(start, start + n_docs):
         d = generate_doc(i, seed=seed, fractions=fractions)
-        spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
-                 for (k, t, m, o) in d.spans]
-        geom = [{"y": y, "x0": x0, "x1": x1, "h": h}
-                for (y, x0, x1, h) in d.geom]
-        yield (d.doc_id, spans, geom)
+        yield (d.doc_id, _span_dicts(d.spans), _geom_dicts(d.geom),
+               list(d.conf), _span_dicts(d.alt_spans),
+               _geom_dicts(d.alt_geom))
 
 
 def corpus_df(spark, n_docs: int, seed: int = SEED,
@@ -428,13 +553,12 @@ def corpus_df(spark, n_docs: int, seed: int = SEED,
             for i in pdf["id"]:
                 d = generate_doc(int(i), seed=seed, fractions=fractions)
                 rows.append((
-                    d.doc_id,
-                    [{"kind": k, "text": t, "media_ref": m, "offset": o}
-                     for (k, t, m, o) in d.spans],
-                    [{"y": y, "x0": x0, "x1": x1, "h": h}
-                     for (y, x0, x1, h) in d.geom],
+                    d.doc_id, _span_dicts(d.spans), _geom_dicts(d.geom),
+                    list(d.conf), _span_dicts(d.alt_spans),
+                    _geom_dicts(d.alt_geom),
                 ))
-            yield pd.DataFrame(rows,
-                               columns=["doc_id", "spans", "span_geom"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "span_geom",
+                               "span_conf", "spans_alt", "alt_geom"])
 
     return idx.mapInPandas(gen, schema=SPAN_SCHEMA_DDL)

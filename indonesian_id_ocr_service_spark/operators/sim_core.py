@@ -683,9 +683,10 @@ def cleanup_common(out: dict) -> dict:
     return out
 
 
-def process_sim_doc(texts: list[str], items: list[dict]) -> dict:
-    """Full per-document SIM extraction → flat output fields (the
-    ``data`` block of format_sim_to_json, sim_extractor.py:1028-1062)."""
+def extract_sim_once(texts: list[str], items: list[dict]) -> dict:
+    """One extraction pass over one OCR view → the extractor's data dict
+    (what the reference's ``sim_extractor.process_sim`` returns and the
+    completeness / merge functions consume)."""
     if not items:
         return {}
     version = detect_version(texts)
@@ -695,7 +696,62 @@ def process_sim_doc(texts: list[str], items: list[dict]) -> dict:
         raw = extract_legacy(row_texts)
     else:
         raw = extract_smart(texts, row_texts)
-    out = cleanup_common(post_process_common(raw))
+    return cleanup_common(post_process_common(raw))
+
+
+def sim_completeness(out: dict) -> float:
+    """C5 gate weights (document_processor.py:208-219)."""
+    if not out:
+        return 0.0
+    score = 0.0
+    if out.get("Nama"):
+        score += 1.5
+    if out.get("Nomor SIM"):
+        score += 1.0
+    if out.get("Tanggal Lahir"):
+        score += 1.0
+    addr = out.get("alamat") or {}
+    if addr.get("kabupaten") or addr.get("name"):
+        score += 1.0
+    if addr.get("kel_desa"):
+        score += 0.5
+    if out.get("Pekerjaan"):
+        score += 0.5
+    if out.get("Berlaku Sampai"):
+        score += 0.5
+    return score
+
+
+_MERGE_KEYS = ["Nama", "Nomor SIM", "Tempat Lahir", "Tanggal Lahir",
+               "Jenis Kelamin", "Pekerjaan", "Berlaku Sampai"]
+_MERGE_ADDR_KEYS = ["name", "rt_rw", "kel_desa", "kecamatan",
+                    "kabupaten", "provinsi"]
+
+
+def merge_sim_data(primary: dict, fallback: dict) -> dict:
+    """C6 field-wise coalesce (document_processor.py:221-236): primary
+    wins, fallback fills gaps, address sub-fields merged key-wise."""
+    if not primary:
+        return fallback
+    if not fallback:
+        return primary
+    merged = dict(primary)
+    for key in _MERGE_KEYS:
+        if not merged.get(key) and fallback.get(key):
+            merged[key] = fallback[key]
+    addr_prim = merged.get("alamat") or {}
+    addr_fall = fallback.get("alamat") or {}
+    merged_addr = dict(addr_prim)
+    for k in _MERGE_ADDR_KEYS:
+        if not merged_addr.get(k) and addr_fall.get(k):
+            merged_addr[k] = addr_fall[k]
+    merged["alamat"] = merged_addr
+    return merged
+
+
+def _flatten_sim(out: dict) -> dict:
+    """The ``data`` block of format_sim_to_json
+    (sim_extractor.py:1028-1062)."""
     addr = out.get("alamat") or {}
     tgl = out.get("Tanggal Lahir") or None
     return {
@@ -713,3 +769,33 @@ def process_sim_doc(texts: list[str], items: list[dict]) -> dict:
         "alamat.kabupaten": addr.get("kabupaten"),
         "alamat.provinsi": addr.get("provinsi"),
     }
+
+
+def process_sim_doc(texts: list[str], items: list[dict],
+                    alt_texts: list[str] | None = None,
+                    alt_items: list[dict] | None = None,
+                    ocr_conf: float | None = None) -> dict:
+    """C6 two-pass SIM extraction → flat output fields.
+
+    The reference's std↔smart gate (document_processor.py:421-440): run
+    the standard pass; when version=SMART OR completeness<4.0 OR OCR
+    confidence<0.70, run the second pass over the alternative view (the
+    SmartSIM-preprocessed re-OCR — here the corpus's ``spans_alt``) and
+    keep it iff its completeness ≥ the standard pass's, field-wise
+    coalescing the standard values into its gaps. With no alternative
+    view (or no confidence data) this degrades to the single-pass
+    behaviour."""
+    if not items and not alt_items:
+        return {}
+    out_std = extract_sim_once(texts, items) if items else {}
+    score_std = sim_completeness(out_std)
+    version = detect_version(texts)
+    conf = 1.0 if ocr_conf is None else ocr_conf
+    if (version == "SMART" or score_std < 4.0 or conf < 0.70) \
+            and alt_items:
+        out_smart = extract_sim_once(alt_texts or [], alt_items)
+        if sim_completeness(out_smart) >= score_std:
+            return _flatten_sim(merge_sim_data(out_smart, out_std))
+    if not out_std:
+        return {}
+    return _flatten_sim(out_std)

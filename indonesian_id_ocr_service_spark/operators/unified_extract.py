@@ -55,6 +55,67 @@ FULL_KERNEL_SCHEMA = (
 _OUT_FIELDS = [f for f in OUTPUT_FIELD_ORDER if f != "document_type"]
 
 
+def _iter_docs(pdf: pd.DataFrame):
+    """Yield per-document tuples, tolerating corpora without the
+    alternative-view / confidence columns (older span schema)."""
+    has_alt = "spans_alt" in pdf.columns
+    has_conf = "span_conf" in pdf.columns
+    for i in range(len(pdf)):
+        yield (
+            pdf["doc_id"].iloc[i],
+            pdf["spans"].iloc[i],
+            pdf["span_geom"].iloc[i],
+            pdf["spans_alt"].iloc[i] if has_alt else None,
+            pdf["alt_geom"].iloc[i] if has_alt else None,
+            pdf["span_conf"].iloc[i] if has_conf else None,
+        )
+
+
+def _sim_items(spans, geom):
+    items = []
+    for sp, g in zip(spans, geom):
+        if sp["kind"] == "text":
+            items.append({
+                "text": sp["text"], "x0": g["x0"], "h": g["h"],
+                "y_center": (2 * g["y"] + g["h"]) / 2,
+            })
+    return items
+
+
+def _prepare_doc(spans, geom, spans_alt, alt_geom, span_conf):
+    """Shared C2/C3 preamble (document_processor.py:67-71,279-287):
+    classify the primary view; UNKNOWN + alternative view → reclassify
+    and, if resolved, process the alternative view instead. Returns
+    (doc_type, working_spans, working_geom, texts, media, alt_texts,
+    alt_items, ocr_conf) — alt exhausted when C3 consumed it."""
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    doc_type = identify_document_type(texts)
+
+    ocr_conf = None
+    if span_conf is not None and len(span_conf):
+        cs = [c for s, c in zip(spans, span_conf)
+              if s["kind"] == "text" and c is not None]
+        ocr_conf = (sum(cs) / len(cs)) if cs else 0.0
+
+    has_alt = spans_alt is not None and len(spans_alt) > 0
+    if doc_type == "UNKNOWN" and has_alt:
+        alt_texts = [s["text"] for s in spans_alt if s["kind"] == "text"]
+        alt_type = identify_document_type(alt_texts)
+        if alt_type != "UNKNOWN":
+            doc_type = alt_type
+            spans, geom, texts = spans_alt, alt_geom, alt_texts
+            has_alt = False
+
+    alt_texts, alt_items = None, None
+    if has_alt and doc_type == "SIM":
+        alt_texts = [s["text"] for s in spans_alt if s["kind"] == "text"]
+        alt_items = _sim_items(spans_alt, alt_geom)
+
+    media = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    return (doc_type, spans, geom, texts, media, alt_texts, alt_items,
+            ocr_conf)
+
+
 def full_kernel_batch(batches):
     """(doc_id, spans, span_geom) → FINAL output fields per document:
     the complete per-doc grammar (classify → extract → cleanup → repair
@@ -73,12 +134,11 @@ def full_kernel_batch(batches):
 
     for pdf in batches:
         rows = []
-        for doc_id, spans, geom in zip(pdf["doc_id"], pdf["spans"],
-                                       pdf["span_geom"]):
-            texts = [s["text"] for s in spans if s["kind"] == "text"]
-            media = [s["media_ref"] for s in spans
-                     if s["kind"] == "media"]
-            doc_type = identify_document_type(texts)
+        for (doc_id, spans, geom, spans_alt, alt_geom,
+             span_conf) in _iter_docs(pdf):
+            (doc_type, spans, geom, texts, media, alt_texts, alt_items,
+             ocr_conf) = _prepare_doc(spans, geom, spans_alt, alt_geom,
+                                      span_conf)
             vals = [None] * len(_OUT_FIELDS)
             if doc_type == "KTP":
                 # K1-K11 via the independent matrix-style extractor
@@ -107,15 +167,9 @@ def full_kernel_batch(batches):
                 result = ktp_oracle.format_output(validated)
                 vals = [result.get(f) for f in _OUT_FIELDS]
             elif doc_type == "SIM":
-                items_sim = []
-                for sp, g in zip(spans, geom):
-                    if sp["kind"] == "text":
-                        items_sim.append({
-                            "text": sp["text"], "x0": g["x0"],
-                            "h": g["h"],
-                            "y_center": (2 * g["y"] + g["h"]) / 2,
-                        })
-                result = sim_core.process_sim_doc(texts, items_sim)
+                result = sim_core.process_sim_doc(
+                    texts, _sim_items(spans, geom),
+                    alt_texts, alt_items, ocr_conf)
                 vals = [result.get(f) for f in _OUT_FIELDS]
             rows.append([doc_id, doc_type, media] + vals)
         yield pd.DataFrame(
@@ -131,29 +185,22 @@ def unified_extract_batch(batches):
     ktp_cols = list(FIELD_COLS)
     for pdf in batches:
         rows = []
-        for doc_id, spans, geom in zip(pdf["doc_id"], pdf["spans"],
-                                       pdf["span_geom"]):
-            texts, g_y0, g_y1, g_x0, g_x1, media = [], [], [], [], [], []
-            items_sim = []
-            for sp, g in zip(spans, geom):
-                if sp["kind"] == "text":
-                    texts.append(sp["text"])
-                    g_y0.append(g["y"])
-                    g_y1.append(g["y"] + g["h"])
-                    g_x0.append(g["x0"])
-                    g_x1.append(g["x1"])
-                    items_sim.append({
-                        "text": sp["text"], "x0": g["x0"], "h": g["h"],
-                        "y_center": (2 * g["y"] + g["h"]) / 2,
-                    })
-                elif sp["kind"] == "media":
-                    media.append(sp["media_ref"])
-
-            doc_type = identify_document_type(texts)
+        for (doc_id, spans, geom, spans_alt, alt_geom,
+             span_conf) in _iter_docs(pdf):
+            (doc_type, spans, geom, texts, media, alt_texts, alt_items,
+             ocr_conf) = _prepare_doc(spans, geom, spans_alt, alt_geom,
+                                      span_conf)
             ktp_vals = [None] * _N_KTP
             rescue = (None, None)
             sim_vals = [None] * _N_SIM
             if doc_type == "KTP":
+                g_y0, g_y1, g_x0, g_x1 = [], [], [], []
+                for sp, g in zip(spans, geom):
+                    if sp["kind"] == "text":
+                        g_y0.append(g["y"])
+                        g_y1.append(g["y"] + g["h"])
+                        g_x0.append(g["x0"])
+                        g_x1.append(g["x1"])
                 y0 = np.asarray(g_y0, dtype=np.float64)
                 y1 = np.asarray(g_y1, dtype=np.float64)
                 x0 = np.asarray(g_x0, dtype=np.float64)
@@ -162,7 +209,9 @@ def unified_extract_batch(batches):
                 rescue = _nik_rescue(texts, y0, y1, extracted.get("NIK"))
                 ktp_vals = [extracted.get(label) for label in ktp_cols]
             elif doc_type == "SIM":
-                result = sim_core.process_sim_doc(texts, items_sim)
+                result = sim_core.process_sim_doc(
+                    texts, _sim_items(spans, geom),
+                    alt_texts, alt_items, ocr_conf)
                 sim_vals = [result.get(f) for f in _SIM_FIELDS]
             rows.append([doc_id, doc_type, media] + ktp_vals
                         + list(rescue) + sim_vals)

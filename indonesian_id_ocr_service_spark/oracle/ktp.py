@@ -633,19 +633,49 @@ def format_output(data):
     }
 
 
-def process_document(doc_id, spans, geom):
-    """Full per-document oracle → list of extracted spans
-    (kind, text, media_ref, order). Emits ``field:*`` spans in
-    OUTPUT_FIELD_ORDER (non-null only), then pass-through ``media`` spans
-    in original order. UNKNOWN docs emit a single ``error`` span plus
-    media pass-through."""
-    spans_n = [
+def _norm_spans(spans):
+    return [
         s if isinstance(s, dict)
         else {"kind": s[0], "text": s[1], "media_ref": s[2], "offset": s[3]}
         for s in spans
     ]
+
+
+def process_document(doc_id, spans, geom, spans_alt=None, alt_geom=None,
+                     span_conf=None):
+    """Full per-document oracle → list of extracted spans
+    (kind, text, media_ref, order). Emits ``field:*`` spans in
+    OUTPUT_FIELD_ORDER (non-null only), then pass-through ``media`` spans
+    in original order. UNKNOWN docs emit a single ``error`` span plus
+    media pass-through.
+
+    ``spans_alt``/``alt_geom`` model the reference's second OCR view of
+    the raw image: the C3 UNKNOWN retry (document_processor.py:279-287 —
+    reclassify on the alternative view and, if it resolves, process THAT
+    view) and the C6 SmartSIM second pass. ``span_conf`` parallels
+    ``spans``; the C2 OCR confidence (document_processor.py:67-71) is the
+    mean over its text-span entries and feeds the C6 conf<0.70 gate."""
+    spans_n = _norm_spans(spans)
     texts = [s["text"] for s in spans_n if s["kind"] == "text"]
     doc_type = identify_document_type(texts)
+
+    alt_n = _norm_spans(spans_alt) if spans_alt else None
+    # C2: mean recognition confidence over the primary view's text spans
+    ocr_conf = None
+    if span_conf is not None and len(span_conf):
+        cs = [c for s, c in zip(spans_n, span_conf)
+              if s["kind"] == "text" and c is not None]
+        ocr_conf = (sum(cs) / len(cs)) if cs else 0.0
+
+    # C3: UNKNOWN retry on the alternative (raw) view
+    if doc_type == "UNKNOWN" and alt_n:
+        alt_texts = [s["text"] for s in alt_n if s["kind"] == "text"]
+        alt_type = identify_document_type(alt_texts)
+        if alt_type != "UNKNOWN":
+            doc_type = alt_type
+            spans_n, geom = alt_n, alt_geom
+            texts = alt_texts
+            alt_n, alt_geom = None, None  # the raw view was consumed
 
     out_spans = []
 
@@ -669,7 +699,8 @@ def process_document(doc_id, spans, geom):
                 emit(f"field:{fname}", str(val))
     elif doc_type == "SIM":
         from . import sim as sim_oracle
-        result = sim_oracle.process_sim(spans_n, geom)
+        result = sim_oracle.process_sim(spans_n, geom, alt_n, alt_geom,
+                                        ocr_conf)
         for fname in sim_oracle.SIM_OUTPUT_FIELD_ORDER:
             val = result.get(fname)
             if val:

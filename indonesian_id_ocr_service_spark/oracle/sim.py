@@ -19,7 +19,7 @@ from ..operators import sim_core
 SIM_OUTPUT_FIELD_ORDER = OUTPUT_FIELD_ORDER
 
 
-def process_sim(spans, geom) -> dict:
+def _view(spans, geom):
     texts_all = [s["text"] for s in spans if s["kind"] == "text"]
     items = []
     for sp, g in zip(spans, geom):
@@ -32,4 +32,14 @@ def process_sim(spans, geom) -> dict:
             "h": h,
             "y_center": (y + (y + h)) / 2,
         })
-    return sim_core.process_sim_doc(texts_all, items)
+    return texts_all, items
+
+
+def process_sim(spans, geom, spans_alt=None, alt_geom=None,
+                ocr_conf=None) -> dict:
+    texts_all, items = _view(spans, geom)
+    alt_texts, alt_items = (
+        _view(spans_alt, alt_geom) if spans_alt else (None, None)
+    )
+    return sim_core.process_sim_doc(texts_all, items, alt_texts,
+                                    alt_items, ocr_conf)

@@ -49,6 +49,18 @@ def with_default_geometry(df: DataFrame) -> DataFrame:
     return df.withColumn("span_geom", geom)
 
 
+def _kernel_input(src: DataFrame) -> DataFrame:
+    """Project the extraction kernel's input: the span-contract columns
+    plus, when the corpus carries them, the alternative OCR view (C3
+    UNKNOWN retry / C6 SmartSIM pass) and per-span confidences (C2)."""
+    cols = ["doc_id", "spans", "span_geom"]
+    if "spans_alt" in src.columns and "alt_geom" in src.columns:
+        cols += ["spans_alt", "alt_geom"]
+    if "span_conf" in src.columns:
+        cols.append("span_conf")
+    return src.select(*cols)
+
+
 def classify_documents(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_type",
                          classify.document_type(F.col("spans")))
@@ -133,7 +145,7 @@ def _run_pipeline_kernel(df: DataFrame) -> DataFrame:
     )
 
     src = with_default_geometry(df)
-    wide = src.select("doc_id", "spans", "span_geom").mapInPandas(
+    wide = _kernel_input(src).mapInPandas(
         full_kernel_batch, schema=FULL_KERNEL_SCHEMA
     )
     is_ktp = F.col("doc_type") == "KTP"
@@ -181,7 +193,7 @@ def _run_pipeline_jvm(df: DataFrame) -> DataFrame:
     )
 
     src = with_default_geometry(df)
-    wide = src.select("doc_id", "spans", "span_geom").mapInPandas(
+    wide = _kernel_input(src).mapInPandas(
         unified_extract_batch, schema=UNIFIED_SCHEMA
     )
     pt = ("doc_type", *_SIM_COLS)

@@ -308,3 +308,62 @@ FROM agg
 
 
 SQL_CONFIDENCE_SCORING = _build_sql()
+
+
+# ---------------------------------------------------------------------------
+# C2: OCR confidence — mean per-token recognition score per document
+# (document_processor.py:67-71: np.mean(rec_scores)). The corpus tables
+# carry no OCR scores, so both engines synthesize the same deterministic
+# per-token confidence from md5: conf(t) = 0.5 + hex16(md5(t)[:4])/131072
+# — an exact dyadic rational (17 significand bits), so the sum over any
+# realistic token count is EXACT in float64 and the mean is bit-identical
+# regardless of summation order.
+# ---------------------------------------------------------------------------
+
+
+def q_ocr_confidence(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    confs = F.transform(
+        toks,
+        lambda t: F.lit(0.5)
+        + F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("double")
+        / F.lit(131072.0),
+    )
+    mean = F.aggregate(confs, F.lit(0.0), lambda a, x: a + x) \
+        / F.greatest(F.size(toks), F.lit(1))
+    return df.select(
+        F.col("doc_id"),
+        F.round(mean, 6).alias("ocr_conf"),
+        (F.round(mean, 6) < 0.70).alias("low_conf"),
+    )
+
+
+_NIB = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+
+SQL_OCR_CONFIDENCE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         list_transform(toks, t ->
+           0.5 + (({_NIB.format(i=1)}) * 4096.0
+                  + ({_NIB.format(i=2)}) * 256.0
+                  + ({_NIB.format(i=3)}) * 16.0
+                  + ({_NIB.format(i=4)})) / 131072.0) AS confs
+  FROM t
+)
+SELECT doc_id,
+       round(list_aggregate(confs, 'sum')
+             / greatest(len(toks), 1), 6) AS ocr_conf,
+       round(list_aggregate(confs, 'sum')
+             / greatest(len(toks), 1), 6) < 0.70 AS low_conf
+FROM c
+"""

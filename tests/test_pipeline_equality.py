@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from indonesian_id_ocr_service_spark.corpus.generator import (
+    SPAN_SCHEMA_DDL,
     doc_rows,
     generate_doc,
 )
@@ -23,17 +24,18 @@ def _oracle_spans(i: int, fractions):
              for k, t, m, o in d.spans]
     geom = [{"y": y, "x0": x0, "x1": x1, "h": h}
             for y, x0, x1, h in d.geom]
-    return d.doc_id, ktp_oracle.process_document(d.doc_id, spans, geom)
+    alt = [{"kind": k, "text": t, "media_ref": m, "offset": o}
+           for k, t, m, o in d.alt_spans]
+    alt_geom = [{"y": y, "x0": x0, "x1": x1, "h": h}
+                for y, x0, x1, h in d.alt_geom]
+    return d.doc_id, ktp_oracle.process_document(
+        d.doc_id, spans, geom, alt, alt_geom, list(d.conf))
 
 
 def _run_equality(spark, fractions, n_docs=N_DOCS, include_sim=False,
                   mode="jvm"):
     rows = list(doc_rows(n_docs, fractions=fractions))
-    df = spark.createDataFrame(
-        rows, "doc_id string, "
-        "spans array<struct<kind:string,text:string,media_ref:string,"
-        "offset:int>>, "
-        "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+    df = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
     got = {
         r["doc_id"]: [
             (s["kind"], s["text"], s["media_ref"], s["order"])

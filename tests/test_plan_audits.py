@@ -20,12 +20,12 @@ def test_extraction_path_is_shuffle_free(spark):
     from indonesian_id_ocr_service_spark.pipeline import (
         classify_documents, run_ktp_branch, with_default_geometry)
 
+    from indonesian_id_ocr_service_spark.corpus.generator import (
+        SPAN_SCHEMA_DDL,
+    )
+
     rows = list(doc_rows(10, fractions=(1.0, 0, 0)))
-    df = spark.createDataFrame(
-        rows, "doc_id string, "
-        "spans array<struct<kind:string,text:string,media_ref:string,"
-        "offset:int>>, "
-        "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+    df = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
     out = run_ktp_branch(
         classify_documents(with_default_geometry(df)).filter(
             F.col("doc_type") == "KTP"))

@@ -5,14 +5,12 @@ from __future__ import annotations
 
 import random
 
-from indonesian_id_ocr_service_spark.corpus.generator import doc_rows
+from indonesian_id_ocr_service_spark.corpus.generator import (
+    SPAN_SCHEMA_DDL as SCHEMA,
+    doc_rows,
+)
 from indonesian_id_ocr_service_spark.oracle import scalars as S
 from indonesian_id_ocr_service_spark.pipeline import run_pipeline
-
-SCHEMA = ("doc_id string, "
-          "spans array<struct<kind:string,text:string,media_ref:string,"
-          "offset:int>>, "
-          "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
 
 
 def test_output_invariant_under_partitioning(spark):

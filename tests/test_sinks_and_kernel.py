@@ -88,12 +88,12 @@ def test_sim_address_block_rtrw_pivot():
 def test_lineage_resume(spark, tmp_path):
     from indonesian_id_ocr_service_spark.corpus.generator import doc_rows
 
+    from indonesian_id_ocr_service_spark.corpus.generator import (
+        SPAN_SCHEMA_DDL,
+    )
+
     rows = list(doc_rows(40, fractions=(1.0, 0, 0)))
-    df = spark.createDataFrame(
-        rows, "doc_id string, "
-        "spans array<struct<kind:string,text:string,media_ref:string,"
-        "offset:int>>, "
-        "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+    df = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
 
     def fake_pipeline(part):
         return part.select("doc_id")

@@ -9,10 +9,9 @@ from indonesian_id_ocr_service_spark.streaming.pipeline import (
     start_extraction_stream,
 )
 
-SCHEMA = ("doc_id string, "
-          "spans array<struct<kind:string,text:string,media_ref:string,"
-          "offset:int>>, "
-          "span_geom array<struct<y:int,x0:int,x1:int,h:int>>")
+from indonesian_id_ocr_service_spark.corpus.generator import (
+    SPAN_SCHEMA_DDL as SCHEMA,
+)
 
 
 def test_stream_batch_parity(spark, tmp_path):

@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": QD.q_token_counts,
         "fingerprint": QD.q_fingerprint,
         "media_features": QD.q_media_features,
+        "media_quality": QD.q_media_quality,
         "embedding_norms": QD.q_embedding_norms,
     }
 
@@ -131,5 +132,6 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": QD.SQL_TOKEN_COUNTS,
         "fingerprint": QD.SQL_FINGERPRINT,
         "media_features": QD.SQL_MEDIA_FEATURES,
+        "media_quality": QD.SQL_MEDIA_QUALITY,
         "embedding_norms": QD.SQL_EMBEDDING_NORMS,
     }

@@ -82,85 +82,84 @@ def media_feature_batch(batches):
 
 
 # ---------------------------------------------------------------------------
-# P1-P13 image-preprocessing operator stubs (SURVEY §2.2)
+# P1-P13 image-preprocessing operators (SURVEY §2.2)
 #
-# Each corresponds to one reference preprocessing op; all operate on a
-# decoded ndarray inside the same mapInPandas batch loop as
-# media_feature_batch. Real bodies require cv2 (gated above); the
-# signatures, composition order and batch shape are the production
-# contract. Reference lines cited per op.
+# Each delegates to the pure-numpy implementations in image_ops.py —
+# real pixel math, no cv2 — except P10 (perspective warp: contour
+# machinery) and the face-cascade part of P8, which remain gated.
+# All operate on a decoded grayscale ndarray inside the same
+# mapInPandas batch loop as media_feature_batch.
 # ---------------------------------------------------------------------------
+
+from . import image_ops as IOPS  # noqa: E402
+
 
 def _require_cv2(name: str):  # pragma: no cover
     raise NotImplementedError(
-        f"{name} requires cv2 (not available in this environment); "
-        "plumbing is exercised via the deterministic fake decoder")
+        f"{name} requires cv2 (not available in this environment)")
 
 
 def p1_blur_score(img):  # image_preprocessor.py:14-18
     """P1: Laplacian-variance blur score on grayscale."""
-    _require_cv2("p1_blur_score")
+    return IOPS.laplacian_variance(img)
 
 
 def p2_brightness_contrast(img):  # image_preprocessor.py:20-30
     """P2: gray-pixel mean / std."""
-    _require_cv2("p2_brightness_contrast")
+    return IOPS.brightness_contrast(img)
 
 
 def p3_quality_flags(blur, brightness, contrast):
-    """P3 (image_preprocessor.py:32-46): pure threshold flags — no cv2
-    needed; downstream branching happens in JVM when() columns."""
-    return {
-        "is_blurry": blur < 80,
-        "is_very_blurry": blur < 30,
-        "is_dark": brightness < 60,
-        "is_overexposed": brightness > 210,
-        "is_low_contrast": contrast < 30,
-    }
+    """P3 (image_preprocessor.py:32-46): pure threshold flags;
+    downstream branching happens in JVM when() columns."""
+    return IOPS.quality_flags(blur, brightness, contrast)
 
 
-def p4_unsharp_mask(img):  # image_preprocessor.py:53-57
-    _require_cv2("p4_unsharp_mask")
+def p4_unsharp_mask(img, sigma=1.0, strength=1.5):
+    return IOPS.unsharp_mask(img, sigma, strength)  # :53-57
 
 
-def p5_clahe(img):  # image_preprocessor.py:60-69
-    _require_cv2("p5_clahe")
+def p5_clahe(img, clip_limit=3.0):  # image_preprocessor.py:60-69
+    return IOPS.clahe_gray(img, clip_limit)
 
 
 def p6_resize_keep_aspect(img, width=1000):  # image_preprocessor.py:93-99
-    _require_cv2("p6_resize_keep_aspect")
+    return IOPS.resize_keep_aspect(img, width)
 
 
 def p7_pad_border(img, px=20):  # image_preprocessor.py:143-149
-    _require_cv2("p7_pad_border")
+    return IOPS.pad_border(img, px)
 
 
-def p8_orientation(img):  # image_preprocessor.py:177-201
-    _require_cv2("p8_orientation")
+def p8_orientation(img):
+    """P8 (image_preprocessor.py:177-201): the reference disambiguates
+    0/90/180/270 with a face cascade (cv2 data files); the numpy path
+    applies the landscape heuristic."""
+    return IOPS.orient_landscape(img)
 
 
 def p9_rotate(img, deg):  # image_preprocessor.py:204-209
-    _require_cv2("p9_rotate")
+    return IOPS.rotate90(img, deg)
 
 
-def p10_perspective(img):  # image_preprocessor.py:212-242
+def p10_perspective(img):  # pragma: no cover — image_preprocessor.py:212-242
     _require_cv2("p10_perspective")
 
 
 def p11_deskew(img):  # image_preprocessor.py:268-308
-    _require_cv2("p11_deskew")
+    return IOPS.deskew(img)
 
 
 def p12_minimal_ktp(img):
     """P12 (image_preprocessor.py:152-174): orientation → resize(1000)
     → pad(20) — the authoritative minimal KTP path."""
-    return p7_pad_border(p6_resize_keep_aspect(p8_orientation(img)))
+    return IOPS.minimal_ktp(img)
 
 
 def p13_smart_sim(img):
-    """P13 (image_preprocessor.py:344-488): orientation → perspective →
-    deskew → CLAHE/denoise/sharpen → resize(1600) → pad."""
-    _require_cv2("p13_smart_sim")
+    """P13 (image_preprocessor.py:344-488) minus the P10 warp:
+    orientation → deskew → CLAHE → sharpen → resize(1600) → pad."""
+    return IOPS.smart_sim(img)
 
 
 def extract_media_features(df, id_col: str = "doc_id",

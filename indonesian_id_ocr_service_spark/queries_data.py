@@ -367,3 +367,80 @@ SELECT label, count(*) AS n,
          AS avg_norm
 FROM embeddings GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal P1-P3 end-to-end: synthesize a deterministic IMG1 payload
+# per document, decode it, and run the REAL numpy quality math
+# (Laplacian variance / mean / std → threshold flags). The DuckDB
+# oracle predicts the flags from the same doc_id-derived generation
+# parameters — every regime sits far from its threshold (crisp
+# lap≈4800 vs 80; blurred ≈13; flat =0; std 42 vs 30 vs 10.5), so the
+# comparison is exact. Flat images additionally check the decoded pixel
+# mean against its closed form (mean == bg exactly).
+# ---------------------------------------------------------------------------
+
+
+def q_media_quality(spark, sf_dir):
+    import pandas as pd
+
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        from .operators import image_ops as I
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m = i % 8
+                if m <= 1:
+                    img = I.synth_card(bg=35 + i % 16, n_stripes=0)
+                elif m == 2:
+                    img = I.synth_card(bg=225 + i % 16, n_stripes=0)
+                elif m <= 4:
+                    img = I.synth_card(bg=115 + i % 11, n_stripes=8,
+                                       blur_k=7)
+                else:
+                    img = I.synth_card(bg=115 + i % 11, n_stripes=8)
+                payload = I.encode_img1(img)
+                dec = I.decode_img1(payload)
+                lap = I.laplacian_variance(dec)
+                mean, std = I.brightness_contrast(dec)
+                fl = I.quality_flags(lap, mean, std)
+                rows.append((
+                    i, dec.shape[0], dec.shape[1],
+                    fl["is_blurry"], fl["is_very_blurry"], fl["is_dark"],
+                    fl["is_overexposed"], fl["is_low_contrast"],
+                    int(round(mean)) if m <= 2 else None,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "h", "w", "is_blurry", "is_very_blurry",
+                "is_dark", "is_overexposed", "is_low_contrast",
+                "flat_mean"])
+
+    return df.mapInPandas(
+        gen,
+        "doc_id long, h int, w int, is_blurry boolean, "
+        "is_very_blurry boolean, is_dark boolean, "
+        "is_overexposed boolean, is_low_contrast boolean, "
+        "flat_mean int",
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_QUALITY = """
+SELECT doc_id,
+       64 AS h, 96 AS w,
+       doc_id % 8 <= 4 AS is_blurry,
+       doc_id % 8 <= 4 AS is_very_blurry,
+       doc_id % 8 <= 1 AS is_dark,
+       doc_id % 8 = 2 AS is_overexposed,
+       doc_id % 8 <= 4 AS is_low_contrast,
+       CASE WHEN doc_id % 8 <= 1 THEN CAST(35 + doc_id % 16 AS INT)
+            WHEN doc_id % 8 = 2 THEN CAST(225 + doc_id % 16 AS INT)
+       END AS flat_mean
+FROM documents ORDER BY doc_id
+"""

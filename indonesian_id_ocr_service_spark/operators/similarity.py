@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from ..functions.core import let, let2
 
-__all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplane_bucket"]
+__all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplane_bucket",
+           "lsh_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -77,15 +78,18 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8,
-                      dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket key: bit_j = sign(v · h_j) where
-    h_j[i] ∈ {−1, +1} is derived from md5(j || ':' || i) — deterministic,
-    engine-portable, no stored plane matrix."""
+def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64,
+                      table: int = 0) -> Column:
+    """One random-hyperplane LSH bucket key: bit_j = sign(v · h_j)
+    where h_j[i] ∈ {−1, +1} is derived from md5(table:j:i) —
+    deterministic, engine-portable, no stored plane matrix. The
+    projection folds left in array order, matching DuckDB list_reduce
+    bit-for-bit."""
     def plane_sign(j: int, i: Column) -> Column:
         return F.when(
             F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 1
+                F.md5(F.concat(F.lit(f"{table}:{j}:"),
+                               i.cast("string"))), 1, 1
             ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
             F.lit(1.0),
         ).otherwise(F.lit(-1.0))
@@ -106,3 +110,61 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8,
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             n_tables: int = 12, n_planes: int = 4, dim: int = 64,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN scale path: multi-table hyperplane LSH (OR-construction) →
+    candidate pairs → exact cosine re-rank.
+
+    A single b-bit table has recall (1−θ/π)^b per neighbour — near zero
+    for unclustered embeddings (measured 0/15 with one 8-bit table on
+    the testdata); L tables of fewer bits trade candidate volume for
+    recall (L=12, b=4 → recall 1.0 here). At scale each (table, key)
+    bucket is a shuffle partition key: only same-bucket pairs
+    materialize, keys are md5-uniform → no skew, and candidate pairs
+    dedupe before the exact re-rank so each pair's dot product is
+    computed once."""
+    from pyspark.sql.window import Window
+
+    def keyed(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        keys = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(F.col(vc), n_planes, dim, t)
+                .alias("key"),
+            )
+            for t in range(n_tables)
+        ])
+        return df.select(
+            F.col(idc), F.col(vc), F.explode(keys).alias("tk")
+        ).select(idc, vc, F.col("tk.tbl").alias("tbl"),
+                 F.col("tk.key").alias("key"))
+
+    qk = keyed(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")), "query_id", "qv")
+    ck = keyed(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")), "neighbor_id", "cv")
+    pairs = (
+        ck.join(F.broadcast(qk),
+                (ck["tbl"] == qk["tbl"]) & (ck["key"] == qk["key"])
+                & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv").cast("array<double>"),
+                       F.col("cv").cast("array<double>")), 5).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

@@ -444,3 +444,76 @@ SELECT doc_id,
        END AS flat_mean
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: hyperplane-LSH buckets → candidates → exact re-rank.
+# Same md5-derived ±1 planes on both engines; the projection folds
+# left in array order on both sides (Spark aggregate / DuckDB
+# list_reduce), so bucket bits are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, queries, k=3).orderBy("query_id", "rn")
+
+
+_PLANE_SIGN = ("CASE WHEN substr(md5('{t}:{j}:' || (i - 1)), 1, 1) IN "
+               "('8','9','a','b','c','d','e','f') "
+               "THEN 1.0 ELSE -1.0 END")
+
+_BUCKET_BIT = (
+    "CASE WHEN list_reduce(list_transform(range(1, 65), "
+    "i -> v[i] * " + _PLANE_SIGN + "), (a, b) -> a + b) > 0 "
+    "THEN '1' ELSE '0' END"
+)
+
+
+def _key_sql(t: int, n_planes: int = 4) -> str:
+    return " || ".join(
+        _BUCKET_BIT.format(t=t, j=j) for j in range(n_planes))
+
+
+_KEYS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, v, {t} AS tbl, {_key_sql(t)} AS key FROM b"
+    for t in range(12))
+
+SQL_ANN_LSH_BUCKET = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), keys AS (
+  {_KEYS_SQL}
+), q AS (
+  SELECT vec_id AS query_id, tbl, key FROM keys WHERE vec_id < 5
+), pairs AS (
+  SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id
+  FROM keys k JOIN q
+    ON k.tbl = q.tbl AND k.key = q.key AND k.vec_id != q.query_id
+), s AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(bq.v, bq.v))
+                         * sqrt(list_dot_product(bn.v, bn.v)) > 0
+                    THEN list_dot_product(bq.v, bn.v)
+                         / (sqrt(list_dot_product(bq.v, bq.v))
+                            * sqrt(list_dot_product(bn.v, bn.v)))
+                    ELSE 0.0 END, 5) AS sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY CASE WHEN sqrt(list_dot_product(bq.v, bq.v))
+                              * sqrt(list_dot_product(bn.v, bn.v)) > 0
+                         THEN list_dot_product(bq.v, bn.v)
+                              / (sqrt(list_dot_product(bq.v, bq.v))
+                                 * sqrt(list_dot_product(bn.v, bn.v)))
+                         ELSE 0.0 END DESC, p.neighbor_id ASC) AS rn
+  FROM pairs p
+  JOIN b bn ON bn.vec_id = p.neighbor_id
+  JOIN b bq ON bq.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM s
+WHERE rn <= 3 ORDER BY query_id, rn
+"""

@@ -117,21 +117,25 @@ def _prepare_doc(spans, geom, spans_alt, alt_geom, span_conf):
 
 
 def full_kernel_batch(batches):
-    """(doc_id, spans, span_geom) → FINAL output fields per document:
-    the complete per-doc grammar (classify → extract → cleanup → repair
-    → cross-validate → format / SIM kernel) in one Arrow batch.
+    """(doc_id, spans, span_geom[, alt view, conf]) → FINAL output
+    fields per document: classify → spatial extract (per-doc loop — the
+    sequential geometry/state-machine work) → VECTORIZED scalar
+    post-chain over the whole Arrow batch (functions/pandas_ktp) / SIM
+    kernel.
 
-    This is the scale configuration: measured at ~1-2 core-ms/doc
-    (memoized fuzzy tiers) versus ~85 core-ms/doc for the equivalent
-    JVM interpreted-expression chain — Spark's higher-order functions
-    recompute `dataType` recursively per evaluation, which dominates
-    once expression trees reach normalizer-chain size (see BENCH.md).
-    The JVM chain remains the verification mode: independently
-    implemented, span-equality-tested, and every operator in it is
-    DuckDB-oracle-checked via __spark_entry__.
+    This is the scale configuration. The per-document Python is limited
+    to the genuinely sequential pieces (spatial claiming, SIM state
+    machines); the cleanup/repair/crossval/format chain runs as masked
+    column operations per batch — an implementation independent of both
+    the JVM expression chain (ktp_post.py, verification mode) and the
+    pure-Python oracle the span-equality gate compares against
+    (parity: 0 mismatched docs on a 3000-doc adversarial corpus).
     """
-    from ..oracle import ktp as ktp_oracle
+    from ..functions import pandas_ktp as PK
 
+    ktp_labels = list(FIELD_COLS)
+    raw_cols = list(FIELD_COLS.values())
+    out_cols = [f.replace(".", "_") for f in _OUT_FIELDS]
     for pdf in batches:
         rows = []
         for (doc_id, spans, geom, spans_alt, alt_geom,
@@ -139,13 +143,12 @@ def full_kernel_batch(batches):
             (doc_type, spans, geom, texts, media, alt_texts, alt_items,
              ocr_conf) = _prepare_doc(spans, geom, spans_alt, alt_geom,
                                       span_conf)
-            vals = [None] * len(_OUT_FIELDS)
+            raw_vals = [None] * len(ktp_labels)
+            rescue = None
+            sim_vals = [None] * len(_OUT_FIELDS)
             if doc_type == "KTP":
                 # K1-K11 via the independent matrix-style extractor
-                # (ktp_spatial) — the span-equality gate stays a real
-                # two-implementation check for the spatial stage; the
-                # scalar post-chain shares the semantics library that is
-                # parity-tested against the JVM expressions.
+                # (ktp_spatial) + the spatial NIK rescue
                 g_y0, g_y1, g_x0, g_x1 = [], [], [], []
                 for sp, g in zip(spans, geom):
                     if sp["kind"] == "text":
@@ -160,23 +163,30 @@ def full_kernel_batch(batches):
                     np.asarray(g_x0, dtype=np.float64),
                     np.asarray(g_x1, dtype=np.float64),
                 )
-                items = ktp_oracle.build_items(list(spans), list(geom))
-                cleaned = ktp_oracle.cleanup_data(raw)
-                repaired = ktp_oracle.repair(cleaned, items)
-                validated = ktp_oracle.cross_validate(repaired)
-                result = ktp_oracle.format_output(validated)
-                vals = [result.get(f) for f in _OUT_FIELDS]
+                rescue, _rc = _nik_rescue(texts, y0, y1, raw.get("NIK"))
+                raw_vals = [raw.get(lb) for lb in ktp_labels]
             elif doc_type == "SIM":
                 result = sim_core.process_sim_doc(
                     texts, _sim_items(spans, geom),
                     alt_texts, alt_items, ocr_conf)
-                vals = [result.get(f) for f in _OUT_FIELDS]
-            rows.append([doc_id, doc_type, media] + vals)
-        yield pd.DataFrame(
-            rows,
-            columns=["doc_id", "doc_type", "media_refs"]
-            + [f.replace(".", "_") for f in _OUT_FIELDS],
-        )
+                sim_vals = [result.get(f) for f in _OUT_FIELDS]
+            rows.append([doc_id, doc_type, media, rescue]
+                        + raw_vals + sim_vals)
+
+        w = pd.DataFrame(
+            rows, columns=["doc_id", "doc_type", "media_refs", "_rescue"]
+            + [f"_r_{c}" for c in raw_cols] + out_cols)
+        ktp = (w["doc_type"] == "KTP").to_numpy()
+        if ktp.any():
+            raw_df = w.loc[ktp, [f"_r_{c}" for c in raw_cols]]
+            raw_df.columns = raw_cols
+            final = PK.post_chain(raw_df, w.loc[ktp, "_rescue"])
+            for f, c in zip(_OUT_FIELDS, out_cols):
+                if f == "document_type":
+                    w.loc[ktp, c] = "KTP"
+                else:
+                    w.loc[ktp, c] = final[f].values
+        yield w[["doc_id", "doc_type", "media_refs"] + out_cols]
 
 
 def unified_extract_batch(batches):

@@ -63,6 +63,7 @@ KTP_EXTRACT_SCHEMA = (
     "doc_id string, media_refs array<string>, "
     + ", ".join(f"{c} string" for c in FIELD_COLS.values())
     + ", nik_rescue_value string, nik_rescue_conf double"
+    + ", field_methods map<string,string>"
 )
 
 _LABELS = tuple(CANONICAL_FIELDS)
@@ -93,9 +94,14 @@ def _classify_span(text_raw: str) -> str | None:
 
 
 def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
-                     x0: np.ndarray, x1: np.ndarray) -> dict:
+                     x0: np.ndarray, x1: np.ndarray,
+                     methods_out: dict | None = None) -> dict:
     """K1-K11 over one document's text spans. Returns
-    {canonical_label: value} plus '_rescue' when the NIK needs tier 3."""
+    {canonical_label: value} plus '_rescue' when the NIK needs tier 3.
+    When ``methods_out`` is a dict it is filled with the per-field
+    extraction-method label — the reference's trace vocabulary
+    (ktp_extractor.py:344-347, debug_ktp.py:127-133)."""
+    meth = methods_out if methods_out is not None else {}
     n = len(texts)
     if n == 0:
         return {}
@@ -156,6 +162,7 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
                     val = _LEAD_PUNCT.sub("", parts[1]).strip()
             if val:
                 out[field] = val
+                meth[field] = "header_strip"
                 continue
 
         # K4: inline extraction after ':' or positional suffix
@@ -172,6 +179,7 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
                     inline = re.sub(r"^[:\-\.\s]*", "", suffix)
         if inline and len(inline) > 2:
             out[field] = inline
+            meth[field] = "inline_extraction"
             continue
 
         # K5: same-line geometric match (vectorized candidate scoring)
@@ -224,7 +232,9 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
                             line2 = min(second, key=lambda v: y0[v])
                             value_text += f" {texts[line2]}"
                             claimed.add(line2)
+                            meth[field] = "geometric_match_multiline"
                     out[field] = value_text
+                    meth.setdefault(field, "geometric_match")
 
         # K7: NIK below-line fallback
         if field == "NIK" and "NIK" not in out:
@@ -237,6 +247,7 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
             if below:
                 pick = min(below, key=lambda v: y0[v])
                 out["NIK"] = texts[pick]
+                meth["NIK"] = "geometric_below_fallback"
                 claimed.add(pick)
 
     # ---- K8: keyword recovery ------------------------------------------
@@ -250,16 +261,19 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
             tu = texts[vi].upper()
             if field == "Jenis Kelamin" and "LAKILAKI" in tu:
                 out[field] = "LAKI-LAKI"
+                meth[field] = "typo_recovery"
                 claimed.add(vi)
                 break
             if field == "Status Perkawinan" and re.search(r"\bKAWIN\b", tu):
                 out[field] = tu.strip()
+                meth[field] = "regex_kawin_recovery"
                 claimed.add(vi)
                 break
             choice, score = fuzzy.extract_one(
                 tu, kw, scorer=fuzzy.token_set_ratio)
             if choice is not None and score > 85:
                 out[field] = texts[vi]
+                meth[field] = "value_keyword_recovery"
                 claimed.add(vi)
                 break
 
@@ -272,6 +286,7 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
             if re.search(r"\d{2}[-\s/]\d{2}[-\s/]\d{4}", t) and re.search(
                     r"[A-Za-z]{3,}", t):
                 out["Tempat/Tgl Lahir"] = t
+                meth["Tempat/Tgl Lahir"] = "regex_date_place_recovery"
                 claimed.add(vi)
                 break
 
@@ -299,6 +314,7 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
         if cands:
             pick = min(cands, key=lambda v: x0[v])
             out["Nama"] = texts[pick]
+            meth["Nama"] = "positional_inference_name"
             claimed.add(pick)
 
     # ---- K11: NIK 16-digit regex recovery -------------------------------
@@ -309,6 +325,7 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
             clean = texts[vi].replace(" ", "").strip()
             if re.match(r"^\d{16}$", clean):
                 out["NIK"] = clean
+                meth["NIK"] = "regex_recovery_16_digits"
                 claimed.add(vi)
                 break
 
@@ -381,15 +398,17 @@ def extract_ktp_batch(batches):
             y1 = np.asarray(g_y1, dtype=np.float64)
             x0 = np.asarray(g_x0, dtype=np.float64)
             x1 = np.asarray(g_x1, dtype=np.float64)
-            extracted = _extract_one_doc(texts, y0, y1, x0, x1)
+            methods: dict = {}
+            extracted = _extract_one_doc(texts, y0, y1, x0, x1,
+                                         methods_out=methods)
             rv, rc = _nik_rescue(texts, y0, y1, extracted.get("NIK"))
             rows.append(
                 [doc_id, media]
                 + [extracted.get(label) for label in FIELD_COLS]
-                + [rv, rc]
+                + [rv, rc, methods]
             )
         yield pd.DataFrame(
             rows,
             columns=["doc_id", "media_refs"] + cols
-            + ["nik_rescue_value", "nik_rescue_conf"],
+            + ["nik_rescue_value", "nik_rescue_conf", "field_methods"],
         )

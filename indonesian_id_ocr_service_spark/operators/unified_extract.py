@@ -50,6 +50,7 @@ FULL_KERNEL_SCHEMA = (
         f"{f.replace('.', '_')} string" for f in OUTPUT_FIELD_ORDER
         if f != "document_type"
     )
+    + ", field_methods map<string,string>"
 )
 
 _OUT_FIELDS = [f for f in OUTPUT_FIELD_ORDER if f != "document_type"]
@@ -145,6 +146,7 @@ def full_kernel_batch(batches):
                                       span_conf)
             raw_vals = [None] * len(ktp_labels)
             rescue = None
+            methods: dict = {}
             sim_vals = [None] * len(_OUT_FIELDS)
             if doc_type == "KTP":
                 # K1-K11 via the independent matrix-style extractor
@@ -162,6 +164,7 @@ def full_kernel_batch(batches):
                     texts, y0, y1,
                     np.asarray(g_x0, dtype=np.float64),
                     np.asarray(g_x1, dtype=np.float64),
+                    methods_out=methods,
                 )
                 rescue, _rc = _nik_rescue(texts, y0, y1, raw.get("NIK"))
                 raw_vals = [raw.get(lb) for lb in ktp_labels]
@@ -170,11 +173,12 @@ def full_kernel_batch(batches):
                     texts, _sim_items(spans, geom),
                     alt_texts, alt_items, ocr_conf)
                 sim_vals = [result.get(f) for f in _OUT_FIELDS]
-            rows.append([doc_id, doc_type, media, rescue]
+            rows.append([doc_id, doc_type, media, rescue, methods]
                         + raw_vals + sim_vals)
 
         w = pd.DataFrame(
-            rows, columns=["doc_id", "doc_type", "media_refs", "_rescue"]
+            rows, columns=["doc_id", "doc_type", "media_refs", "_rescue",
+                           "field_methods"]
             + [f"_r_{c}" for c in raw_cols] + out_cols)
         ktp = (w["doc_type"] == "KTP").to_numpy()
         if ktp.any():
@@ -186,7 +190,8 @@ def full_kernel_batch(batches):
                     w.loc[ktp, c] = "KTP"
                 else:
                     w.loc[ktp, c] = final[f].values
-        yield w[["doc_id", "doc_type", "media_refs"] + out_cols]
+        yield w[["doc_id", "doc_type", "media_refs"] + out_cols
+                + ["field_methods"]]
 
 
 def unified_extract_batch(batches):

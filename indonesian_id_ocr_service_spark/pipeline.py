@@ -78,10 +78,11 @@ def run_ktp_branch(ktp: DataFrame) -> DataFrame:
     extracted = ktp.select("doc_id", "spans", "span_geom").mapInPandas(
         extract_ktp_batch, schema=KTP_EXTRACT_SCHEMA
     )
-    cleaned = ktp_post.apply_cleanup(extracted)
+    pt = ("field_methods",)   # per-field provenance for the lineage sink
+    cleaned = ktp_post.apply_cleanup(extracted, passthrough=pt)
     repaired = ktp_post.apply_repair(cleaned)
     validated = ktp_post.apply_crossval(repaired)
-    formatted = ktp_post.apply_format(validated)
+    formatted = ktp_post.apply_format(validated, passthrough=pt)
     return ktp_post.assemble_spans(formatted)
 
 

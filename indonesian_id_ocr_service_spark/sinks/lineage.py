@@ -60,8 +60,8 @@ def extraction_metrics(fields_df: DataFrame) -> DataFrame:
         + F.when(seq > 0, 0.01).otherwise(0.0)
     )
     total_w = sum(FIELD_WEIGHTS.values())
-    return fields_df.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         sum(present[1:], present[0]).alias("fields_found"),
         (F.col("nomor").isNull() | F.col("nama").isNull()
          | F.col("tgl_lahir").isNull()).alias("missing_critical"),
@@ -69,7 +69,13 @@ def extraction_metrics(fields_df: DataFrame) -> DataFrame:
             "weighted_completeness"),
         F.round(F.when(nik16, bonus).otherwise(F.lit(0.0)), 6).alias(
             "nik_structural_bonus"),
-    )
+    ]
+    # per-field extraction provenance (the reference's trace_info method
+    # labels, ktp_extractor.py:344-347 / debug_ktp.py:127-133) when the
+    # extractor stage carried it through
+    if "field_methods" in fields_df.columns:
+        cols.append(F.col("field_methods"))
+    return fields_df.select(*cols)
 
 
 class ExtractionRun:

@@ -14,12 +14,16 @@ that don't require cv2-only machinery:
 - P8 orientation (text-direction heuristic; the reference's face
   cascade needs cv2 data files)         (:177-201)
 - P9 90° rotations                      (:204-209)
+- P10 perspective correction: intensity-segmented corner quad →
+  four-point homography warp (the reference walks Canny contours;
+  same decision contract incl. the ≥95%-frame and min-area guards)
+  (:212-242)
 - P11 deskew: dominant text-line angle within ±15°, rotate when the
   weighted estimate ≥0.5° (projection-profile estimator standing in
   for HoughLinesP — same decision semantics)  (:268-308)
 - P12 minimal KTP path: orient → resize(1000) → pad(20)   (:152-174)
-- P13 SmartSIM path minus the perspective warp (P10 needs contour
-  machinery): deskew → CLAHE → unsharp → resize(1600) → pad  (:344-488)
+- P13 SmartSIM path: perspective → deskew → CLAHE → unsharp →
+  resize(1600) → pad  (:344-488)
 
 Images are grayscale uint8 ndarrays. The wire format for payload
 columns is IMG1: b"IMG1" + uint16be h + uint16be w + h·w uint8 pixels —
@@ -41,6 +45,7 @@ __all__ = [
     "unsharp_mask", "clahe_gray", "resize_keep_aspect", "pad_border",
     "orient_landscape", "rotate90", "estimate_skew", "rotate",
     "deskew", "minimal_ktp", "smart_sim",
+    "find_card_quad", "four_point_transform", "perspective_correct",
 ]
 
 _MAGIC = b"IMG1"
@@ -341,3 +346,91 @@ def smart_sim(img: np.ndarray) -> np.ndarray:
     x = unsharp_mask(x, sigma=1.0, strength=1.5)
     x = resize_keep_aspect(x, 1600)
     return pad_border(x, 20)
+
+
+# ---------------------------------------------------------------------------
+# P10: perspective (geometric) correction
+# ---------------------------------------------------------------------------
+
+
+def find_card_quad(img: np.ndarray, min_area_ratio: float = 0.05):
+    """Locate the card's corner quad (image_preprocessor.py:212-242).
+    The reference walks Canny+dilate contours for a 4-point polygon;
+    here the card is segmented by intensity (documents are bright on a
+    darker background) and the corners are the foreground points
+    extremal in (x+y) and (x−y) — the classic order_points corners.
+    Returns 4×2 float array (TL, TR, BR, BL) or None (no quad, too
+    small, or already near-full-frame — the reference's ≥95% guard)."""
+    h, w = img.shape
+    f = img.astype(np.float64)
+    thr = f.mean() + 0.25 * f.std()
+    ys, xs = np.nonzero(f > thr)
+    if ys.size < h * w * min_area_ratio:
+        return None
+    bw = xs.max() - xs.min() + 1
+    bh = ys.max() - ys.min() + 1
+    if bw > 0.95 * w and bh > 0.95 * h:
+        return None
+    s = xs + ys
+    d = xs - ys
+    tl = (xs[s.argmin()], ys[s.argmin()])
+    br = (xs[s.argmax()], ys[s.argmax()])
+    tr = (xs[d.argmax()], ys[d.argmax()])
+    bl = (xs[d.argmin()], ys[d.argmin()])
+    return np.array([tl, tr, br, bl], dtype=np.float64)
+
+
+def _homography(dst_pts: np.ndarray, src_pts: np.ndarray) -> np.ndarray:
+    """DLT solve of the 8-parameter projective map dst → src."""
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i, ((x, y), (xs, ys)) in enumerate(zip(dst_pts, src_pts)):
+        a[2 * i] = [x, y, 1, 0, 0, 0, -x * xs, -y * xs]
+        b[2 * i] = xs
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -x * ys, -y * ys]
+        b[2 * i + 1] = ys
+    p = np.linalg.solve(a, b)
+    return np.array([[p[0], p[1], p[2]],
+                     [p[3], p[4], p[5]],
+                     [p[6], p[7], 1.0]])
+
+
+def four_point_transform(img: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Warp the quad (TL, TR, BR, BL) to an axis-aligned rectangle sized
+    by the longer opposite edges, bilinear sampling with clamp borders
+    (the cv2 four_point_transform recipe in numpy)."""
+    tl, tr, br, bl = pts
+    wa = np.hypot(*(br - bl))
+    wb = np.hypot(*(tr - tl))
+    ha = np.hypot(*(tr - br))
+    hb = np.hypot(*(tl - bl))
+    out_w = max(2, int(round(max(wa, wb))))
+    out_h = max(2, int(round(max(ha, hb))))
+    dst = np.array([[0, 0], [out_w - 1, 0],
+                    [out_w - 1, out_h - 1], [0, out_h - 1]], float)
+    m = _homography(dst, pts)
+    yy, xx = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    den = m[2, 0] * xx + m[2, 1] * yy + 1.0
+    sx = (m[0, 0] * xx + m[0, 1] * yy + m[0, 2]) / den
+    sy = (m[1, 0] * xx + m[1, 1] * yy + m[1, 2]) / den
+    h, w = img.shape
+    x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
+    y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(sx - x0, 0, 1)
+    fy = np.clip(sy - y0, 0, 1)
+    f = img.astype(np.float64)
+    out = ((1 - fy) * ((1 - fx) * f[y0, x0] + fx * f[y0, x1])
+           + fy * ((1 - fx) * f[y1, x0] + fx * f[y1, x1]))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def perspective_correct(img: np.ndarray) -> np.ndarray:
+    """P10: find the card quad and warp it upright; pass the image
+    through unchanged when no usable quad exists — the reference's
+    geometric_correction contract."""
+    pts = find_card_quad(img)
+    if pts is None:
+        return img
+    return four_point_transform(img, pts)

@@ -85,8 +85,8 @@ def media_feature_batch(batches):
 # P1-P13 image-preprocessing operators (SURVEY §2.2)
 #
 # Each delegates to the pure-numpy implementations in image_ops.py —
-# real pixel math, no cv2 — except P10 (perspective warp: contour
-# machinery) and the face-cascade part of P8, which remain gated.
+# real pixel math, no cv2 (the face-cascade part of P8 uses the
+# landscape heuristic; everything else incl. the P10 warp is real).
 # All operate on a decoded grayscale ndarray inside the same
 # mapInPandas batch loop as media_feature_batch.
 # ---------------------------------------------------------------------------
@@ -142,8 +142,8 @@ def p9_rotate(img, deg):  # image_preprocessor.py:204-209
     return IOPS.rotate90(img, deg)
 
 
-def p10_perspective(img):  # pragma: no cover — image_preprocessor.py:212-242
-    _require_cv2("p10_perspective")
+def p10_perspective(img):  # image_preprocessor.py:212-242
+    return IOPS.perspective_correct(img)
 
 
 def p11_deskew(img):  # image_preprocessor.py:268-308
@@ -157,9 +157,9 @@ def p12_minimal_ktp(img):
 
 
 def p13_smart_sim(img):
-    """P13 (image_preprocessor.py:344-488) minus the P10 warp:
-    orientation → deskew → CLAHE → sharpen → resize(1600) → pad."""
-    return IOPS.smart_sim(img)
+    """P13 (image_preprocessor.py:344-488): orientation → perspective →
+    deskew → CLAHE → sharpen → resize(1600) → pad."""
+    return IOPS.smart_sim(IOPS.perspective_correct(img))
 
 
 def extract_media_features(df, id_col: str = "doc_id",

@@ -118,3 +118,38 @@ def test_img1_roundtrip_and_rejects():
     assert I.decode_img1(b"not an image") is None
     assert I.decode_img1(None) is None
     assert I.decode_img1(I.encode_img1(img)[:-5]) is None  # truncated
+
+
+def test_p10_perspective_recovers_tilted_card():
+    # bright card quad embedded in a dark frame with real perspective
+    card = I.synth_card(bg=200, n_stripes=5, h=60, w=100)
+    frame = np.full((160, 200), 10, np.uint8)
+    src_quad = np.array([[0, 0], [99, 0], [99, 59], [0, 59]], float)
+    dst_quad = np.array([[40, 30], [150, 42], [142, 118], [34, 104]],
+                        float)
+    m = I._homography(dst_quad, src_quad)
+    yy, xx = np.mgrid[0:160, 0:200].astype(float)
+    den = m[2, 0] * xx + m[2, 1] * yy + 1.0
+    sx = (m[0, 0] * xx + m[0, 1] * yy + m[0, 2]) / den
+    sy = (m[1, 0] * xx + m[1, 1] * yy + m[1, 2]) / den
+    inside = (sx >= 0) & (sx <= 99) & (sy >= 0) & (sy <= 59)
+    ix = np.clip(np.rint(sx).astype(int), 0, 99)
+    iy = np.clip(np.rint(sy).astype(int), 0, 59)
+    frame[inside] = card[iy[inside], ix[inside]]
+
+    quad = I.find_card_quad(frame)
+    assert quad is not None
+    out = I.perspective_correct(frame)
+    # upright again: no dark frame corners, card-like aspect, stripes
+    # horizontal (deskew estimate ~0)
+    assert out.shape != frame.shape
+    assert out[2, 2] > 150 and out[-3, -3] > 150
+    assert 1.2 < out.shape[1] / out.shape[0] < 2.2
+    assert abs(I.estimate_skew(out)) <= 1.0
+
+
+def test_p10_passthrough_when_full_frame_or_no_card():
+    full = I.synth_card(bg=200, n_stripes=5, h=64, w=96)
+    assert np.array_equal(I.perspective_correct(full), full)
+    dark = np.full((64, 96), 12, np.uint8)
+    assert np.array_equal(I.perspective_correct(dark), dark)

@@ -59,7 +59,7 @@ from . import fuzzy
 from .pandas_dates import normalize_date_frame
 
 __all__ = ["post_chain", "cleanup_frame", "repair_frame",
-           "crossval_frame", "format_frame"]
+           "crossval_frame", "format_frame", "nik_best_with_conf"]
 
 _TO_DIGIT = str.maketrans(TO_DIGIT_SRC, TO_DIGIT_DST)
 _TO_TEXT = str.maketrans(TO_TEXT_SRC, TO_TEXT_DST)
@@ -252,17 +252,19 @@ def _struct_conf(c: pd.Series, base: float) -> np.ndarray:
     return s
 
 
-def _nik_best_vec(raw_full: pd.Series) -> pd.Series:
-    """Best NIK candidate ≥ 0.30 (nik_fuzzy.py:108-166), or None —
-    candidate families generated columnar in the oracle's order.
+def nik_best_with_conf(raw_full: pd.Series):
+    """Best NIK candidate ≥ 0.30 (nik_fuzzy.py:108-166) →
+    (value Series, confidence Series); None/NaN when no candidate.
+    Candidate families generated columnar in the oracle's order.
     Compacts to non-null rows first (only the repair subset pays for
     the ~120 candidate-family columns), and runs the insertion/edge
     families on the 15-digit sub-subset only."""
     raw = raw_full.dropna()
     n = len(raw)
     if n == 0:
-        return pd.Series([None] * len(raw_full), index=raw_full.index,
-                         dtype=object)
+        empty = pd.Series([None] * len(raw_full), index=raw_full.index,
+                          dtype=object)
+        return empty, pd.Series(np.nan, index=raw_full.index)
     r = raw.astype(str)
     exact = _digits(r)
     sub = _sub_digit(r)
@@ -309,7 +311,12 @@ def _nik_best_vec(raw_full: pd.Series) -> pd.Series:
             best_val.loc[ti] = series.loc[ti]
             best_conf.loc[ti] = conf.loc[ti]
     out = best_val.where(best_conf >= 0.30, None)
-    return out.reindex(raw_full.index)
+    return (out.reindex(raw_full.index),
+            best_conf.where(best_conf >= 0.30).reindex(raw_full.index))
+
+
+def _nik_best_vec(raw_full: pd.Series) -> pd.Series:
+    return nik_best_with_conf(raw_full)[0]
 
 
 def _pad_nik_dob_vec(d15: pd.Series, exp: pd.Series) -> pd.Series:

@@ -35,7 +35,6 @@ import pandas as pd
 
 from ..dictionaries import CANONICAL_FIELDS, KNOWN_VALUES, TRUNCATED_KEY_MAP
 from ..functions import fuzzy
-from ..oracle import scalars as _scalar
 
 __all__ = ["KTP_EXTRACT_SCHEMA", "extract_ktp_batch", "FIELD_COLS"]
 
@@ -335,19 +334,29 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
 def _nik_rescue(texts: list[str], y0: np.ndarray, y1: np.ndarray,
                 raw_nik: str | None):
     """N12/N13 tier 3 — evaluated only when tiers 1-2 will fail
-    (document_processor.py:104-135)."""
+    (document_processor.py:104-135). Runs on the columnar candidate
+    engine (functions/pandas_ktp), not the oracle: per-text best then
+    max-confidence-first-wins ≡ the reference's global stable sort (the
+    global maximum lives in some text, whose per-text best it is; ties
+    resolve to the earlier text / earlier generation on both sides)."""
+    from ..functions import pandas_ktp as PK
+
     # tier 1: cleaned 16-digit NIK
-    cleaned = _scalar.clean_nik(raw_nik) if raw_nik else None
+    one = pd.Series([raw_nik], dtype=object)
+    cleaned = PK._clean_nik_vec(one).iloc[0] if raw_nik else None
     residue = None
     if raw_nik and cleaned is None:
-        digits = re.sub(r"\D", "", _scalar.sub_to_digit(raw_nik))
+        digits = re.sub(r"\D", "", str(raw_nik).translate(PK._TO_DIGIT))
         residue = digits if len(digits) >= 12 else None
     effective = cleaned or residue
     if effective and re.match(r"^\d{16}$", effective):
         return None, None
     # tier 2: candidate engine on the cleaned value
-    if effective and _scalar.nik_best_candidate(effective, 0.30):
-        return None, None
+    if effective is not None:
+        v, _c = PK.nik_best_with_conf(
+            pd.Series([effective], dtype=object))
+        if v.iloc[0] is not None:
+            return None, None
     # tier 3: spatial rescue over all spans
     yc = (y0 + y1) / 2.0
     nik_y = None
@@ -357,20 +366,24 @@ def _nik_rescue(texts: list[str], y0: np.ndarray, y1: np.ndarray,
             break
 
     def best_over(indices):
-        cands = []
-        for i in indices:
-            cands.extend(_scalar.nik_candidates(texts[i]))
-        cands.sort(key=lambda c: -c["confidence"])
-        return cands[0] if cands else None
+        if not indices:
+            return None, None
+        vv, cc = PK.nik_best_with_conf(
+            pd.Series([texts[i] for i in indices], dtype=object))
+        conf = cc.fillna(-1.0).to_numpy(float)
+        j = int(np.argmax(conf))          # argmax keeps the FIRST max
+        if vv.iloc[j] is None:
+            return None, None
+        return vv.iloc[j], float(conf[j])
 
     if nik_y is not None:
         near = [i for i in range(len(texts)) if abs(yc[i] - nik_y) < 60]
-        r = best_over(near)
-        if r and r["confidence"] >= 0.5:
-            return r["value"], r["confidence"]
-    r = best_over(range(len(texts)))
-    if r:
-        return r["value"], r["confidence"]
+        val, conf = best_over(near)
+        if val is not None and conf >= 0.5:
+            return val, conf
+    val, conf = best_over(list(range(len(texts))))
+    if val is not None:
+        return val, conf
     return None, None
 
 

@@ -64,9 +64,6 @@ __all__ = ["post_chain", "cleanup_frame", "repair_frame",
 _TO_DIGIT = str.maketrans(TO_DIGIT_SRC, TO_DIGIT_DST)
 _TO_TEXT = str.maketrans(TO_TEXT_SRC, TO_TEXT_DST)
 
-_ = FIELD_ENUMS  # (enum tiers live in the JVM path; silence linters)
-
-
 # ---------------------------------------------------------------------------
 # small helpers
 # ---------------------------------------------------------------------------
@@ -167,6 +164,30 @@ def _correct_place_one(raw: str,
     if best_match and best_score >= min_confidence * 100:
         return best_match, best_score / 100.0
     return (sub if sub != v else v), 0.35
+
+
+def _correct_enum_one(field_key: str, value: str):
+    """Enum-field correction tiers (ocr_corrector.py:368-401):
+    exact → char-sub-to-text → token_set_ratio ≥ threshold on both.
+    Returns (corrected, confidence) or None when no tier fires."""
+    if not value:
+        return None
+    cfg = FIELD_ENUMS.get(field_key)
+    if cfg is None:
+        return None
+    vocab, thr = cfg["values"], cfg["threshold"]
+    v = value.upper().strip()
+    if v in vocab:
+        return v, 1.0
+    sub = _sub_text_one(v)
+    if sub in vocab:
+        return sub, 0.93
+    for cand in (v, sub):
+        choice, score = fuzzy.extract_one(cand, vocab,
+                                          scorer=fuzzy.token_set_ratio)
+        if choice is not None and score >= thr:
+            return choice, score / 100.0
+    return None
 
 
 def _status_one(v: str) -> str:

@@ -53,14 +53,14 @@ def _canonical_map_udf(canonical_map: dict[str, list[str]], threshold: int):
 
     @F.pandas_udf(StringType())
     def udf(s: pd.Series) -> pd.Series:
-        from ..oracle import scalars as _sem
+        from . import pandas_ktp as _pk
 
         def one(v):
             if v is None:
                 return None
             r = cache.get(v)
             if r is None:
-                r = _sem.fuzzy_normalize_field(v, canonical_map, threshold)
+                r = _pk._fuzzy_normalize_one(v, canonical_map, threshold)
                 cache[v] = r
             return r
 
@@ -96,14 +96,14 @@ def correct_enum_udf(field_key: str):
 
     @F.pandas_udf(_CORRECTION_TYPE)
     def udf(s: pd.Series) -> pd.DataFrame:
-        from ..oracle import scalars as _sem
+        from . import pandas_ktp as _pk
 
         def one(v):
             if v is None:
                 return (None, None)
             r = cache.get(v)
             if r is None:
-                res = _sem.correct_enum(field_key, v)
+                res = _pk._correct_enum_one(field_key, v)
                 r = res if res else (None, None)
                 cache[v] = r
             return r
@@ -121,14 +121,14 @@ def correct_place_udf(min_confidence: float = 0.82):
 
     @F.pandas_udf(_CORRECTION_TYPE)
     def udf(s: pd.Series) -> pd.DataFrame:
-        from ..oracle import scalars as _sem
+        from . import pandas_ktp as _pk
 
         def one(v):
             if v is None:
                 return (None, 0.0)
             r = cache.get(v)
             if r is None:
-                r = _sem.correct_place(v, min_confidence)
+                r = _pk._correct_place_one(v, min_confidence)
                 cache[v] = r
             return r
 

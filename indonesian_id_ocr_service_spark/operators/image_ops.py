@@ -426,11 +426,34 @@ def four_point_transform(img: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def should_warp(pts: np.ndarray) -> bool:
+    """The reference's plausibility gate (image_preprocessor.py:245-265):
+    warp only when the quad is materially non-rectangular (opposite
+    edges differ >15%) AND its average aspect ratio is card-like
+    (1.2 < w/h < 2.0). Near-rectangular quads pass through untouched."""
+    tl, tr, br, bl = pts
+    top_w = np.linalg.norm(tr - tl)
+    bot_w = np.linalg.norm(br - bl)
+    left_h = np.linalg.norm(bl - tl)
+    right_h = np.linalg.norm(br - tr)
+    w_ratio = min(top_w, bot_w) / (max(top_w, bot_w) + 1e-6)
+    h_ratio = min(left_h, right_h) / (max(left_h, right_h) + 1e-6)
+    if w_ratio < 0.85 or h_ratio < 0.85:
+        avg_w = (top_w + bot_w) / 2
+        avg_h = (left_h + right_h) / 2
+        if avg_h == 0:
+            return False
+        ar = avg_w / avg_h
+        if 1.2 < ar < 2.0:
+            return True
+    return False
+
+
 def perspective_correct(img: np.ndarray) -> np.ndarray:
-    """P10: find the card quad and warp it upright; pass the image
-    through unchanged when no usable quad exists — the reference's
-    geometric_correction contract."""
+    """P10: find the card quad and warp it upright when the reference's
+    gate says so; pass the image through unchanged otherwise — the
+    geometric_correction contract (image_preprocessor.py:212-242)."""
     pts = find_card_quad(img)
-    if pts is None:
+    if pts is None or not should_warp(pts):
         return img
     return four_point_transform(img, pts)

@@ -517,3 +517,71 @@ WITH b AS (
 SELECT query_id, neighbor_id, sim, rn FROM s
 WHERE rn <= 3 ORDER BY query_id, rn
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed dedup pipeline: MinHash-LSH candidate pairs → exact n-gram
+# Jaccard verification → confirmed duplicate pairs. This is the actual
+# 100-TB dedup shape: the quadratic step happens only inside LSH
+# buckets; the verify join ships shingle sets for CANDIDATE ids only
+# (a semi-join-pruned shuffle on doc_id), never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_verified(spark, sf_dir):
+    from .functions.text_analysis import word_shingles
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = DD.lsh_candidate_pairs(docs)
+    sh = docs.select(
+        F.col("doc_id").alias("d"),
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.d"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.d"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_VERIFIED = f"""
+WITH docs AS ({_DOCS_DUPS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM docs),
+sig AS (
+  SELECT doc_id,
+         [{", ".join(_sig_sql(j) for j in range(12))}] AS s
+  FROM sh
+),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id AS doc, {b} AS band, "
+      f"s[{h1 + 1}] || '|' || s[{h2 + 1}] AS key FROM sig"
+      for b, h1, h2 in _BANDS)}
+),
+pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+shin AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM docs
+),
+v AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))),
+                          1), 6) AS jaccard
+  FROM pairs p
+  JOIN shin sa ON sa.doc_id = p.doc_a
+  JOIN shin sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM v
+WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+"""

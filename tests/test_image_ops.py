@@ -125,7 +125,10 @@ def test_p10_perspective_recovers_tilted_card():
     card = I.synth_card(bg=200, n_stripes=5, h=60, w=100)
     frame = np.full((160, 200), 10, np.uint8)
     src_quad = np.array([[0, 0], [99, 0], [99, 59], [0, 59]], float)
-    dst_quad = np.array([[40, 30], [150, 42], [142, 118], [34, 104]],
+    # strongly trapezoidal (top edge ≪ bottom edge → w_ratio < 0.85)
+    # with a card-like average aspect, so the reference's should_warp
+    # gate fires
+    dst_quad = np.array([[60, 30], [140, 34], [166, 118], [30, 112]],
                         float)
     m = I._homography(dst_quad, src_quad)
     yy, xx = np.mgrid[0:160, 0:200].astype(float)
@@ -153,3 +156,13 @@ def test_p10_passthrough_when_full_frame_or_no_card():
     assert np.array_equal(I.perspective_correct(full), full)
     dark = np.full((64, 96), 12, np.uint8)
     assert np.array_equal(I.perspective_correct(dark), dark)
+
+
+def test_p10_gate_skips_near_rectangular_quads():
+    # a merely translated (rectangular) card must NOT be warped —
+    # should_warp requires >15% opposite-edge disparity
+    frame = np.full((160, 200), 10, np.uint8)
+    frame[40:100, 50:150] = 200
+    assert I.find_card_quad(frame) is not None
+    assert not I.should_warp(I.find_card_quad(frame))
+    assert np.array_equal(I.perspective_correct(frame), frame)

@@ -37,16 +37,22 @@ HEADLINE = [
     "date_standard",
     "year_repair",
     "pad_nik_dob",
+    "ocr_confidence",
     "doc_type",
     "dedup_exact",
     "minhash_lsh",
     "simhash",
     "ngram_jaccard",
+    # dedup_verified is CORRECTNESS-gated but not benched: it re-runs
+    # the full minhash_lsh work plus two joins (minhash_lsh already
+    # represents the dedup cost here)
     "ann_cosine_topk",
+    "ann_lsh_bucket",
     "lang_id",
     "quality_score",
     "fingerprint",
     "media_features",
+    "media_quality",
     "embedding_norms",
 ]
 
@@ -96,9 +102,12 @@ def main() -> None:
 
     out_path = "/tmp/bench_out"
     shutil.rmtree(out_path, ignore_errors=True)
+    print("[bench] pipeline phase starting", file=sys.stderr, flush=True)
     t0 = time.time()
     run_pipeline(src).write.mode("overwrite").parquet(out_path)
     pipe_sec = time.time() - t0
+    print(f"[bench] pipeline {pipe_sec:.1f}s "
+          f"({n_docs / pipe_sec:.0f} docs/s)", file=sys.stderr, flush=True)
     total += pipe_sec
     n_out = spark.read.parquet(out_path).count()
 
@@ -119,17 +128,21 @@ def main() -> None:
     qs = entrymod.queries()
     for name in HEADLINE:
         fn = qs[name]
-        # best-of-2: this host shows CPU-steal windows (VM neighbor
-        # noise) that inflate individual runs 3-10x; min-of-2 reports
-        # the engine's cost, not the neighbor's
-        best = None
-        for _ in range(2):
+        # adaptive best-of-2: this host shows CPU-steal windows (VM
+        # neighbor noise) that inflate individual runs 3-10x. Cheap
+        # queries get a second run (min reported — the engine's cost,
+        # not the neighbor's); expensive ones run once to bound the
+        # bench's total wall time.
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        best = time.time() - t0
+        if best < 8.0:
             t0 = time.time()
             _force(fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            best = min(best, time.time() - t0)
         results[name] = round(best, 3)
         total += best
+        print(f"[bench] {name}: {best:.2f}s", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "e2e_extraction_plus_headline_queries",

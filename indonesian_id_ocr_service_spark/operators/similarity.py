@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,6 +113,21 @@ def hyperplane_bucket(vec: Column, n_planes: int = 4, dim: int = 64,
     return F.concat(*bits)
 
 
+def _plane_signs(n_tables: int, n_planes: int, dim: int):
+    """The md5-derived ±1 plane matrix, shape (dim, n_tables·n_planes) —
+    sign(t, j, i) = +1 iff md5(f"{t}:{j}:{i}")[0] ∈ [8-f], identical to
+    hyperplane_bucket and the DuckDB oracle."""
+    import hashlib
+
+    s = np.empty((dim, n_tables * n_planes), dtype=np.float64)
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for i in range(dim):
+                h = hashlib.md5(f"{t}:{j}:{i}".encode()).hexdigest()
+                s[i, t * n_planes + j] = 1.0 if h[0] in "89abcdef" else -1.0
+    return s
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              n_tables: int = 12, n_planes: int = 4, dim: int = 64,
              id_col: str = "vec_id",
@@ -130,18 +146,44 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     from pyspark.sql.window import Window
 
     def keyed(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        keys = F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(F.col(vc), n_planes, dim, t)
-                .alias("key"),
-            )
-            for t in range(n_tables)
-        ])
-        return df.select(
-            F.col(idc), F.col(vc), F.explode(keys).alias("tk")
-        ).select(idc, vc, F.col("tk.tbl").alias("tbl"),
-                 F.col("tk.key").alias("key"))
+        """(id, vec) → one row per (table, key): bucket keys via a
+        numpy kernel — all L·b projections are ONE ±1 matrix product
+        per batch (BLAS), vs 48 interpreted HOF trees per row in the
+        expression form (measured 200+ s for 500 rows). The fold over
+        dimensions is sequential (loop over dim, vectorized over rows)
+        so the float sums are bit-identical to DuckDB list_reduce."""
+        import pandas as pd
+
+        signs = _plane_signs(n_tables, n_planes, dim)
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf[idc]
+                vecs = np.array([np.asarray(v, dtype=np.float64)
+                                 for v in pdf[vc]])
+                n = len(pdf)
+                if n == 0 or vecs.size == 0:
+                    yield pd.DataFrame(
+                        columns=[idc, vc, "tbl", "key"])
+                    continue
+                acc = np.zeros((n, n_tables * n_planes))
+                for i in range(dim):          # exact left-fold order
+                    acc += np.outer(vecs[:, i], signs[i])
+                bits = acc > 0
+                rows = []
+                for r in range(n):
+                    for t in range(n_tables):
+                        key = "".join(
+                            "1" if bits[r, t * n_planes + j] else "0"
+                            for j in range(n_planes))
+                        rows.append((ids.iloc[r], pdf[vc].iloc[r],
+                                     t, key))
+                yield pd.DataFrame(
+                    rows, columns=[idc, vc, "tbl", "key"])
+
+        vec_type = dict(df.dtypes)[vc]
+        return df.select(idc, vc).mapInPandas(
+            gen, f"{idc} long, {vc} {vec_type}, tbl int, key string")
 
     qk = keyed(
         queries.select(F.col(id_col).alias("query_id"),

@@ -36,3 +36,54 @@ def test_stream_batch_parity(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_session_assembly(spark, tmp_path):
+    """applyInPandasWithState: spans streamed across micro-batches are
+    assembled per doc when the event-time watermark passes its session
+    gap — late-but-in-gap spans land in the same document."""
+    import datetime as dt
+
+    from indonesian_id_ocr_service_spark.streaming.stateful import (
+        SPAN_EVENT_DDL,
+        assemble_span_sessions,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(doc, kind, text, media, off, secs):
+        return (doc, kind, text, media, off,
+                t0 + dt.timedelta(seconds=secs))
+
+    src = str(tmp_path / "events")
+    # batch 1: doc A's spans (out of order) + first span of doc B
+    spark.createDataFrame([
+        ev("A", "text", "NIK : 123", "", 1, 0),
+        ev("A", "text", "KARTU TANDA PENDUDUK", "", 0, 1),
+        ev("A", "media", "", "media://A/photo/2", 2, 2),
+        ev("B", "text", "hello", "", 0, 3),
+    ], SPAN_EVENT_DDL).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: far-future events → watermark passes A's and B's gap
+    spark.createDataFrame([
+        ev("C", "text", "future", "", 0, 3600),
+    ], SPAN_EVENT_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(SPAN_EVENT_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = assemble_span_sessions(stream, gap="10 seconds",
+                                 watermark="1 second")
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    rows = {r["doc_id"]: r for r in
+            spark.sql("SELECT * FROM sessions").collect()}
+    assert "A" in rows, rows
+    a = rows["A"]
+    assert a["n_spans"] == 3 and a["n_text"] == 2 and a["n_media"] == 1
+    # offsets ordered: header first despite arriving second
+    assert a["joined_text"] == "KARTU TANDA PENDUDUK NIK : 123"
+    assert "B" in rows and rows["B"]["joined_text"] == "hello"
+    assert "C" not in rows      # still open — watermark never passed it

@@ -66,6 +66,35 @@ def _force(df) -> int:
     ).collect()[0][0] or 0
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_ticks, steal+guest_ticks) from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0, 0
+    steal = sum(vals[7:10]) if len(vals) > 7 else 0
+    return sum(vals), steal
+
+
+def _timed(thunk) -> tuple[float, float]:
+    """Run thunk; return (wall sec, host steal%% during the window).
+
+    Steal is hypervisor CPU theft measured over the timing window — the
+    honest tag for 'this number is the neighbor's fault, not the
+    engine's'. Recorded next to every timing so a polluted window is
+    visible in the official record instead of silently inflating it.
+    """
+    tot0, st0 = _cpu_stat()
+    t0 = time.time()
+    thunk()
+    sec = time.time() - t0
+    tot1, st1 = _cpu_stat()
+    dt = tot1 - tot0
+    steal_pct = 100.0 * (st1 - st0) / dt if dt > 0 else 0.0
+    return sec, round(steal_pct, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -101,13 +130,20 @@ def main() -> None:
         src = src.repartition(cpus * 2)
 
     out_path = "/tmp/bench_out"
-    shutil.rmtree(out_path, ignore_errors=True)
     print("[bench] pipeline phase starting", file=sys.stderr, flush=True)
-    t0 = time.time()
-    run_pipeline(src).write.mode("overwrite").parquet(out_path)
-    pipe_sec = time.time() - t0
-    print(f"[bench] pipeline {pipe_sec:.1f}s "
-          f"({n_docs / pipe_sec:.0f} docs/s)", file=sys.stderr, flush=True)
+    # best-of-2 unconditionally (this host has multi-minute CPU-steal
+    # windows; a single sample is not a measurement). Steal%% recorded
+    # per run so a polluted window is visible in the record.
+    pipe_runs: list[tuple[float, float]] = []
+    for _ in range(2):
+        shutil.rmtree(out_path, ignore_errors=True)
+        sec, steal = _timed(
+            lambda: run_pipeline(src).write.mode("overwrite").parquet(out_path))
+        pipe_runs.append((sec, steal))
+        print(f"[bench] pipeline run {sec:.1f}s "
+              f"({n_docs / sec:.0f} docs/s, steal {steal:.1f}%)",
+              file=sys.stderr, flush=True)
+    pipe_sec = min(r[0] for r in pipe_runs)
     total += pipe_sec
     n_out = spark.read.parquet(out_path).count()
 
@@ -126,23 +162,25 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = entrymod.queries()
+    steal_log: dict[str, list] = {"pipeline": [list(r) for r in pipe_runs]}
     for name in HEADLINE:
         fn = qs[name]
-        # adaptive best-of-2: this host shows CPU-steal windows (VM
-        # neighbor noise) that inflate individual runs 3-10x. Cheap
-        # queries get a second run (min reported — the engine's cost,
-        # not the neighbor's); expensive ones run once to bound the
-        # bench's total wall time.
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        best = time.time() - t0
-        if best < 8.0:
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+        # best-of-2 UNCONDITIONALLY: this host shows CPU-steal windows
+        # that inflate individual runs 3-10x, and the expensive-looking
+        # queries are exactly the ones whose recorded numbers matter.
+        # The second run of an expensive query costs less than the
+        # credibility of the number (round-2 verdict).
+        runs = []
+        for _ in range(2):
+            sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
+            runs.append([round(sec, 3), steal])
+        best = min(r[0] for r in runs)
+        steal_log[name] = runs
         results[name] = round(best, 3)
         total += best
-        print(f"[bench] {name}: {best:.2f}s", file=sys.stderr, flush=True)
+        print(f"[bench] {name}: {best:.2f}s "
+              f"(runs {', '.join(f'{s:.2f}s@{p:.1f}%st' for s, p in runs)})",
+              file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "e2e_extraction_plus_headline_queries",
@@ -157,6 +195,9 @@ def main() -> None:
             "rows_out": n_out,
             "cpus": cpus,
         },
+        # per-timing [wall_sec, host_steal_pct] pairs: best-of-2 raw
+        # runs, so a steal-polluted sample is visible in the record
+        "runs": steal_log,
     }))
     spark.stop()
 

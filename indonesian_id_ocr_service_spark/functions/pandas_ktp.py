@@ -273,6 +273,88 @@ def _struct_conf(c: pd.Series, base: float) -> np.ndarray:
     return s
 
 
+def _struct_conf_one(v: str, base: float) -> float:
+    """Scalar twin of _struct_conf for a single 16-digit candidate."""
+    prov = float(v[0:2])
+    kk = float(v[4:6])
+    day = float(v[6:8])
+    month = float(v[8:10])
+    seq = float(v[12:16])
+    sc = 1.0
+    if prov not in VALID_PROVINCE_CODES:
+        sc *= 0.40 if (prov < 11 or prov > 94) else 0.85
+    if kk == 0:
+        sc *= 0.70
+    if day == 0:
+        sc = 0.0
+    elif not (1 <= day <= 31 or 41 <= day <= 71):
+        sc *= 0.10
+    if month < 1 or month > 12:
+        sc = 0.0
+    if seq == 0:
+        sc *= 0.50
+    return base * (0.25 if sc < 0.2 else 0.5 + 0.5 * sc)
+
+
+def clean_nik_one(v: str | None) -> str | None:
+    """Scalar twin of _clean_nik_vec (one value, no Series)."""
+    if v is None:
+        return None
+    sub = str(v).translate(_TO_DIGIT)
+    digits = re.sub(r"\D", "", sub)
+    if len(digits) == 16:
+        return digits
+    if len(digits) > 16:
+        m = re.search(r"\d{16}", sub.replace(" ", ""))
+        return m.group(0) if m else None
+    return None
+
+
+def nik_best_one(raw) -> Tuple[Optional[str], Optional[float]]:
+    """Scalar twin of nik_best_with_conf: identical family order, base
+    confidences, structural rescoring and strict-greater best scan, for
+    ONE value. Used by the per-document spatial NIK rescue — the
+    columnar engine's pandas overhead (~3 ms per tiny Series) is ~1000×
+    the real work at n=1."""
+    if raw is None:
+        return None, None
+    r = str(raw)
+    exact = re.sub(r"\D", "", r)
+    sub = r.translate(_TO_DIGIT)
+    subd = re.sub(r"\D", "", sub)
+    runs = re.findall(r"\d+", sub)
+    run = max(runs, key=len) if runs else ""
+
+    cands: list = []
+    if len(exact) == 16:
+        cands.append((exact, 1.0))
+    if len(subd) == 16 and subd != exact:
+        cands.append((subd, 0.88))
+    padded = run.ljust(16, "0")
+    for ln, base in ((16, 0.93), (15, 0.72), (14, 0.50)):
+        if len(run) == ln and padded != exact and padded != subd:
+            cands.append((padded, base))
+    working = subd if len(subd) == 15 else (
+        exact if len(exact) == 15 else None)
+    if working:
+        for pos in NIK_INSERT_POSITIONS:
+            pre, suf = working[:pos], working[pos:]
+            for d in "0123456789":
+                cands.append((pre + d + suf, 0.62))
+        for d in "0123456789":
+            cands.append((d + working, 0.58))
+            cands.append((working + d, 0.58))
+
+    best_v, best_c = None, -1.0
+    for v, base in cands:
+        c = _struct_conf_one(v, base)
+        if c >= 0.30 and c > best_c:
+            best_v, best_c = v, c
+    if best_v is not None:
+        return best_v, best_c
+    return None, None
+
+
 def nik_best_with_conf(raw_full: pd.Series):
     """Best NIK candidate ≥ 0.30 (nik_fuzzy.py:108-166) →
     (value Series, confidence Series); None/NaN when no candidate.

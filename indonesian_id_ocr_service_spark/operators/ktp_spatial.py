@@ -341,9 +341,9 @@ def _nik_rescue(texts: list[str], y0: np.ndarray, y1: np.ndarray,
     resolve to the earlier text / earlier generation on both sides)."""
     from ..functions import pandas_ktp as PK
 
-    # tier 1: cleaned 16-digit NIK
-    one = pd.Series([raw_nik], dtype=object)
-    cleaned = PK._clean_nik_vec(one).iloc[0] if raw_nik else None
+    # tier 1: cleaned 16-digit NIK (scalar engine — the columnar one
+    # costs ~3 ms of Series overhead per 1-row call)
+    cleaned = PK.clean_nik_one(raw_nik) if raw_nik else None
     residue = None
     if raw_nik and cleaned is None:
         digits = re.sub(r"\D", "", str(raw_nik).translate(PK._TO_DIGIT))
@@ -353,9 +353,8 @@ def _nik_rescue(texts: list[str], y0: np.ndarray, y1: np.ndarray,
         return None, None
     # tier 2: candidate engine on the cleaned value
     if effective is not None:
-        v, _c = PK.nik_best_with_conf(
-            pd.Series([effective], dtype=object))
-        if v.iloc[0] is not None:
+        v, _c = PK.nik_best_one(effective)
+        if v is not None:
             return None, None
     # tier 3: spatial rescue over all spans
     yc = (y0 + y1) / 2.0
@@ -366,15 +365,16 @@ def _nik_rescue(texts: list[str], y0: np.ndarray, y1: np.ndarray,
             break
 
     def best_over(indices):
-        if not indices:
+        # strict-greater scan ≡ argmax keeping the FIRST max
+        best_v, best_c = None, -1.0
+        for i in indices:
+            v, c = PK.nik_best_one(texts[i])
+            cc = -1.0 if c is None else c
+            if cc > best_c:
+                best_v, best_c = v, cc
+        if best_v is None:
             return None, None
-        vv, cc = PK.nik_best_with_conf(
-            pd.Series([texts[i] for i in indices], dtype=object))
-        conf = cc.fillna(-1.0).to_numpy(float)
-        j = int(np.argmax(conf))          # argmax keeps the FIRST max
-        if vv.iloc[j] is None:
-            return None, None
-        return vv.iloc[j], float(conf[j])
+        return best_v, float(best_c)
 
     if nik_y is not None:
         near = [i for i in range(len(texts)) if abs(yc[i] - nik_y) < 60]

@@ -774,7 +774,8 @@ def _flatten_sim(out: dict) -> dict:
 def process_sim_doc(texts: list[str], items: list[dict],
                     alt_texts: list[str] | None = None,
                     alt_items: list[dict] | None = None,
-                    ocr_conf: float | None = None) -> dict:
+                    ocr_conf: float | None = None,
+                    alt_supplier=None) -> dict:
     """C6 two-pass SIM extraction → flat output fields.
 
     The reference's std↔smart gate (document_processor.py:421-440): run
@@ -784,15 +785,23 @@ def process_sim_doc(texts: list[str], items: list[dict],
     keep it iff its completeness ≥ the standard pass's, field-wise
     coalescing the standard values into its gaps. With no alternative
     view (or no confidence data) this degrades to the single-pass
-    behaviour."""
-    if not items and not alt_items:
+    behaviour.
+
+    ``alt_supplier``: zero-arg closure returning (alt_texts, alt_items),
+    consulted only when the gate fires — lets callers defer
+    materializing the alternative view for the ungated majority."""
+    if not items and not alt_items and alt_supplier is None:
         return {}
     out_std = extract_sim_once(texts, items) if items else {}
     score_std = sim_completeness(out_std)
     version = detect_version(texts)
     conf = 1.0 if ocr_conf is None else ocr_conf
-    if (version == "SMART" or score_std < 4.0 or conf < 0.70) \
-            and alt_items:
+    if version == "SMART" or score_std < 4.0 or conf < 0.70:
+        if alt_items is None and alt_supplier is not None:
+            alt_texts, alt_items = alt_supplier()
+    else:
+        alt_items = None
+    if alt_items:
         out_smart = extract_sim_once(alt_texts or [], alt_items)
         if sim_completeness(out_smart) >= score_std:
             return _flatten_sim(merge_sim_data(out_smart, out_std))

@@ -87,8 +87,11 @@ def _prepare_doc(spans, geom, spans_alt, alt_geom, span_conf):
     """Shared C2/C3 preamble (document_processor.py:67-71,279-287):
     classify the primary view; UNKNOWN + alternative view → reclassify
     and, if resolved, process the alternative view instead. Returns
-    (doc_type, working_spans, working_geom, texts, media, alt_texts,
-    alt_items, ocr_conf) — alt exhausted when C3 consumed it."""
+    (doc_type, working_spans, working_geom, texts, media, alt_supplier,
+    ocr_conf) — ``alt_supplier`` is a zero-arg closure yielding
+    (alt_texts, alt_items), or None when C3 consumed the alt view /
+    there is none. Lazy so ungated SIM docs never pay the per-span
+    item-dict build for a view they won't read."""
     texts = [s["text"] for s in spans if s["kind"] == "text"]
     doc_type = identify_document_type(texts)
 
@@ -107,14 +110,14 @@ def _prepare_doc(spans, geom, spans_alt, alt_geom, span_conf):
             spans, geom, texts = spans_alt, alt_geom, alt_texts
             has_alt = False
 
-    alt_texts, alt_items = None, None
+    alt_supplier = None
     if has_alt and doc_type == "SIM":
-        alt_texts = [s["text"] for s in spans_alt if s["kind"] == "text"]
-        alt_items = _sim_items(spans_alt, alt_geom)
+        def alt_supplier(sa=spans_alt, ag=alt_geom):
+            return ([s["text"] for s in sa if s["kind"] == "text"],
+                    _sim_items(sa, ag))
 
     media = [s["media_ref"] for s in spans if s["kind"] == "media"]
-    return (doc_type, spans, geom, texts, media, alt_texts, alt_items,
-            ocr_conf)
+    return doc_type, spans, geom, texts, media, alt_supplier, ocr_conf
 
 
 def full_kernel_batch(batches):
@@ -141,7 +144,7 @@ def full_kernel_batch(batches):
         rows = []
         for (doc_id, spans, geom, spans_alt, alt_geom,
              span_conf) in _iter_docs(pdf):
-            (doc_type, spans, geom, texts, media, alt_texts, alt_items,
+            (doc_type, spans, geom, texts, media, alt_supplier,
              ocr_conf) = _prepare_doc(spans, geom, spans_alt, alt_geom,
                                       span_conf)
             raw_vals = [None] * len(ktp_labels)
@@ -171,7 +174,7 @@ def full_kernel_batch(batches):
             elif doc_type == "SIM":
                 result = sim_core.process_sim_doc(
                     texts, _sim_items(spans, geom),
-                    alt_texts, alt_items, ocr_conf)
+                    ocr_conf=ocr_conf, alt_supplier=alt_supplier)
                 sim_vals = [result.get(f) for f in _OUT_FIELDS]
             rows.append([doc_id, doc_type, media, rescue, methods]
                         + raw_vals + sim_vals)
@@ -202,7 +205,7 @@ def unified_extract_batch(batches):
         rows = []
         for (doc_id, spans, geom, spans_alt, alt_geom,
              span_conf) in _iter_docs(pdf):
-            (doc_type, spans, geom, texts, media, alt_texts, alt_items,
+            (doc_type, spans, geom, texts, media, alt_supplier,
              ocr_conf) = _prepare_doc(spans, geom, spans_alt, alt_geom,
                                       span_conf)
             ktp_vals = [None] * _N_KTP
@@ -226,7 +229,7 @@ def unified_extract_batch(batches):
             elif doc_type == "SIM":
                 result = sim_core.process_sim_doc(
                     texts, _sim_items(spans, geom),
-                    alt_texts, alt_items, ocr_conf)
+                    ocr_conf=ocr_conf, alt_supplier=alt_supplier)
                 sim_vals = [result.get(f) for f in _SIM_FIELDS]
             rows.append([doc_id, doc_type, media] + ktp_vals
                         + list(rescue) + sim_vals)

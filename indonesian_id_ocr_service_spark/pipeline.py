@@ -52,12 +52,27 @@ def with_default_geometry(df: DataFrame) -> DataFrame:
 def _kernel_input(src: DataFrame) -> DataFrame:
     """Project the extraction kernel's input: the span-contract columns
     plus, when the corpus carries them, the alternative OCR view (C3
-    UNKNOWN retry / C6 SmartSIM pass) and per-span confidences (C2)."""
-    cols = ["doc_id", "spans", "span_geom"]
+    UNKNOWN retry / C6 SmartSIM pass) and per-span confidences (C2).
+
+    The alternative view is shipped LAZILY: only C3 (UNKNOWN retry) and
+    C6 (SIM std↔smart second pass) ever consume it, so the JVM
+    classifier (oracle-checked identical to the kernel's Python
+    classifier) nulls ``spans_alt``/``alt_geom`` for the KTP majority
+    before the Arrow transfer. This is the reference's lazy-recompute
+    shape (SURVEY §4) expressed as a conditional projection — it keeps
+    the pipeline a single zero-shuffle narrow chain, where the
+    flag + filtered-second-pass alternative would add a join (shuffle)
+    and re-execute the main kernel once per union branch (no AQE
+    exchange reuse; see BENCH.md)."""
+    cols = [F.col("doc_id"), F.col("spans"), F.col("span_geom")]
     if "spans_alt" in src.columns and "alt_geom" in src.columns:
-        cols += ["spans_alt", "alt_geom"]
+        need_alt = classify.document_type(F.col("spans")) != F.lit("KTP")
+        cols += [
+            F.when(need_alt, F.col("spans_alt")).alias("spans_alt"),
+            F.when(need_alt, F.col("alt_geom")).alias("alt_geom"),
+        ]
     if "span_conf" in src.columns:
-        cols.append("span_conf")
+        cols.append(F.col("span_conf"))
     return src.select(*cols)
 
 

@@ -533,10 +533,19 @@ def q_dedup_verified(spark, sf_dir):
 
     docs = _docs_with_dups(spark, sf_dir)
     pairs = DD.lsh_candidate_pairs(docs)
+    # prune the shingle table to candidate ids BEFORE the verify joins:
+    # at 100 TB the candidate set is a tiny fraction of the corpus, and
+    # without the semi-join the full shingle table (every doc's 3-gram
+    # set) would shuffle into both join exchanges.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
     sh = docs.select(
         F.col("doc_id").alias("d"),
         F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
-    )
+    ).join(cand_ids, "d", "left_semi")
     j = (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.d"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.d"))

@@ -125,23 +125,45 @@ class ExtractionRun:
 
     def process(self, spark: SparkSession, src: DataFrame,
                 pipeline_fn) -> dict:
-        """Run pipeline_fn bucket-by-bucket, skipping committed buckets.
-        Returns {buckets_run, buckets_skipped, rows}."""
+        """Run pipeline_fn over ALL uncommitted buckets in ONE job,
+        skipping committed ones. Returns
+        {buckets_run, buckets_skipped, rows}.
+
+        One source scan regardless of how many buckets are pending (a
+        per-bucket loop would be O(n_buckets) full scans — wrong for a
+        cold run at 100 TB). The write is a partitioned
+        dynamic-overwrite: only the pending ``bucket=N`` directories are
+        replaced, committed ones are untouched, and per-bucket lineage
+        rows are appended only after the job succeeds — a crashed run
+        leaves un-logged partials that the next run simply overwrites
+        (same exactly-once-per-bucket contract as before)."""
         done = self.committed_buckets()
+        todo = [b for b in range(self.n_buckets) if b not in done]
+        skipped = self.n_buckets - len(todo)
+        if not todo:
+            return {"buckets_run": 0, "buckets_skipped": skipped,
+                    "rows": 0}
+        started = time.time()
         src_b = src.withColumn("_bucket", self.bucket_of())
-        ran = skipped = total_rows = 0
-        for b in range(self.n_buckets):
-            if b in done:
-                skipped += 1
-                continue
-            started = time.time()
-            part = src_b.filter(F.col("_bucket") == b).drop("_bucket")
-            out = pipeline_fn(part)
-            path = os.path.join(self.results_dir, f"bucket={b}")
-            out.write.mode("overwrite").parquet(path)
-            rows = spark.read.parquet(path).count()
+        part = src_b.filter(F.col("_bucket").isin(todo)).drop("_bucket")
+        # recompute the bucket on the OUTPUT (it carries doc_id) so the
+        # pipeline itself stays bucket-agnostic
+        out = pipeline_fn(part).withColumn("bucket", self.bucket_of())
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.results_dir))
+        counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(self.results_dir)
+            .filter(F.col("bucket").isin(todo))
+            .groupBy("bucket").agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total_rows = 0
+        for b in todo:
+            rows = int(counts.get(b, 0))
             self._append_lineage(b, "committed", rows, started)
-            ran += 1
             total_rows += rows
-        return {"buckets_run": ran, "buckets_skipped": skipped,
+        return {"buckets_run": len(todo), "buckets_skipped": skipped,
                 "rows": total_rows}

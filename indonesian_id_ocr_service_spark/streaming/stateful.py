@@ -66,15 +66,14 @@ def _session_fn(gap_ms: int):
             kinds, texts, media, offsets = (list(k0), list(t0),
                                             list(m0), list(o0))
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                kinds.append(row["kind"])
-                texts.append(row["text"] or "")
-                media.append(row["media_ref"] or "")
-                offsets.append(int(row["offset"]))
-                ts = row["event_time"]
-                if ts is not None:
-                    last_ms = max(last_ms,
-                                  int(ts.value // 1_000_000))
+            # columnar appends — no per-row loop in the hot path
+            kinds.extend(pdf["kind"].tolist())
+            texts.extend(pdf["text"].fillna("").tolist())
+            media.extend(pdf["media_ref"].fillna("").tolist())
+            offsets.extend(pdf["offset"].astype(int).tolist())
+            ts_max = pdf["event_time"].max()
+            if pd.notna(ts_max):
+                last_ms = max(last_ms, int(ts_max.value // 1_000_000))
         state.update((kinds, texts, media, offsets, last_ms))
         state.setTimeoutTimestamp(last_ms + gap_ms)
         return

@@ -48,6 +48,16 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "o_totalprice" not in pushed  # column pruning
 
 
+def test_dedup_verified_semi_join_prunes_shingles(spark):
+    """The verify stage of the composed dedup pipeline must NOT ship the
+    full shingle table into the pair joins: the shingle side carries a
+    LeftSemi against the candidate-id set, so only candidate docs'
+    shingle arrays enter the verify shuffle (the 100-TB scale claim)."""
+    df = QD.q_dedup_verified(spark, SF)
+    plan = audit.simple_plan(df)
+    assert "LeftSemi" in plan, plan[:3000]
+
+
 def test_minhash_lsh_single_shuffle_side(spark):
     """The only shuffles in LSH dedup are the band self-join + distinct
     — the signature computation itself is per-row (no Exchange before

@@ -95,17 +95,24 @@ def test_lineage_resume(spark, tmp_path):
     rows = list(doc_rows(40, fractions=(1.0, 0, 0)))
     df = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
 
+    calls = []
+
     def fake_pipeline(part):
+        calls.append(1)
         return part.select("doc_id")
 
     run = ExtractionRun(str(tmp_path / "run1"), run_id=str(uuid.uuid4()),
                         n_buckets=4)
     r1 = run.process(spark, df, fake_pipeline)
     assert r1["buckets_run"] == 4 and r1["rows"] == 40
+    # ALL pending buckets processed by ONE pipeline invocation (one
+    # source scan), not one per bucket
+    assert len(calls) == 1
 
     # resume: everything committed → nothing re-runs
     r2 = run.process(spark, df, fake_pipeline)
     assert r2["buckets_run"] == 0 and r2["buckets_skipped"] == 4
+    assert len(calls) == 1
 
     # simulate a lost bucket: drop one lineage line
     lines = open(run.lineage_path).read().strip().splitlines()
@@ -113,6 +120,10 @@ def test_lineage_resume(spark, tmp_path):
         f.write("\n".join(lines[:-1]) + "\n")
     r3 = run.process(spark, df, fake_pipeline)
     assert r3["buckets_run"] == 1
+    assert len(calls) == 2
+    # the recovered bucket's rows are intact alongside committed ones
+    total = spark.read.parquet(run.results_dir).count()
+    assert total == 40
 
 
 def test_extraction_metrics(spark):

@@ -14,7 +14,46 @@ from pyspark.sql import functions as F
 
 from ..functions.core import let2
 
-__all__ = ["joined_text", "document_type"]
+__all__ = ["joined_text", "document_type", "document_type_py"]
+
+_SIM_CONTAINS = (("SURAT IZIN MENGEMUDI", 6), ("DRIVING LICENSE", 6),
+                 ("BERLAKU SAMPAI", 4), ("KORLANTAS", 3), ("SATPAS", 2),
+                 ("NOMOR SIM", 2), ("NO. SIM", 2), ("NO SIM", 2),
+                 ("POLDA", 1), ("POLRES", 1), ("METRO JAYA", 1),
+                 ("METROJAYA", 1))
+_KTP_CONTAINS = (("KARTU TANDA PENDUDUK", 6), ("KEWARGANEGARAAN", 4),
+                 ("STATUS PERKAWINAN", 4), ("BERLAKU HINGGA", 3),
+                 ("PROVINSI", 2), ("KABUPATEN", 2), ("KECAMATAN", 2),
+                 ("KEL/DESA", 1), ("KEL./DESA", 1), ("RT/RW", 1),
+                 ("GOL. DARAH", 1))
+
+
+def document_type_py(texts) -> str:
+    """Python twin of the ``document_type`` Column expression (same C1
+    additive scoring), for the Arrow kernel's in-batch dispatch — the
+    kernel must not depend on oracle/*. Parity with both the JVM form
+    and the oracle is asserted in tests/test_scalar_parity.py."""
+    import re as _re
+
+    full = " ".join(texts).upper()
+    compact = _re.sub(r"\s+", "", full)
+    sim = sum(p for kw, p in _SIM_CONTAINS if kw in full)
+    if _re.search(r"\d{4}[-\s]\d{4}[-\s]\d{5,6}", full):
+        sim += 4
+    if _re.search(r"\b[1-6]\.\s+[A-Z]", full):
+        sim += 2
+    ktp = sum(p for kw, p in _KTP_CONTAINS if kw in full)
+    if _re.search(r"\b\d{16}\b", compact):
+        ktp += 5
+    if _re.search(r"\bNIK\b", full):
+        ktp += 3
+    if sim > ktp and sim >= 2:
+        return "SIM"
+    if ktp >= 2:
+        return "KTP"
+    if _re.search(r"\d{16}", compact):
+        return "KTP"
+    return "UNKNOWN"
 
 
 def joined_text(spans: Column) -> Column:

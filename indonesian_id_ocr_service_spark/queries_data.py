@@ -411,23 +411,35 @@ def q_media_quality(spark, sf_dir):
                 lap = I.laplacian_variance(dec)
                 mean, std = I.brightness_contrast(dec)
                 fl = I.quality_flags(lap, mean, std)
+                # P8 orientation regime on the sharp cards: rotate an
+                # asymmetric (header) card by a doc-determined angle and
+                # report the angle the upright vote picks to undo it
+                detected = None
+                if m >= 5:
+                    applied = 90 * ((i // 8) % 4)
+                    rot = I.rotate90(
+                        I.synth_card(bg=115 + i % 11, n_stripes=5,
+                                     header=True),
+                        applied)
+                    detected = I.orient_vote(rot)
                 rows.append((
                     i, dec.shape[0], dec.shape[1],
                     fl["is_blurry"], fl["is_very_blurry"], fl["is_dark"],
                     fl["is_overexposed"], fl["is_low_contrast"],
                     int(round(mean)) if m <= 2 else None,
+                    detected,
                 ))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "h", "w", "is_blurry", "is_very_blurry",
                 "is_dark", "is_overexposed", "is_low_contrast",
-                "flat_mean"])
+                "flat_mean", "detected_rot"])
 
     return df.mapInPandas(
         gen,
         "doc_id long, h int, w int, is_blurry boolean, "
         "is_very_blurry boolean, is_dark boolean, "
         "is_overexposed boolean, is_low_contrast boolean, "
-        "flat_mean int",
+        "flat_mean int, detected_rot int",
     ).orderBy("doc_id")
 
 
@@ -441,7 +453,10 @@ SELECT doc_id,
        doc_id % 8 <= 4 AS is_low_contrast,
        CASE WHEN doc_id % 8 <= 1 THEN CAST(35 + doc_id % 16 AS INT)
             WHEN doc_id % 8 = 2 THEN CAST(225 + doc_id % 16 AS INT)
-       END AS flat_mean
+       END AS flat_mean,
+       CASE WHEN doc_id % 8 >= 5
+            THEN CAST((360 - 90 * ((doc_id // 8) % 4)) % 360 AS INT)
+       END AS detected_rot
 FROM documents ORDER BY doc_id
 """
 

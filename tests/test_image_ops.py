@@ -88,6 +88,42 @@ def test_p8_orientation_heuristic():
     assert I.orient_landscape(landscape).shape == (20, 40)
 
 
+def test_p8_upright_vote_recovers_all_rotations():
+    """The cv2-free analog of the face-cascade vote: an asymmetric card
+    rotated by every multiple of 90° comes back upright exactly."""
+    card = I.synth_card(bg=200, n_stripes=5, header=True)
+    for a in (0, 90, 180, 270):
+        rotated = I.rotate90(card, a)
+        assert np.array_equal(I.orient_upright(rotated), card), a
+
+
+def test_p8_upright_vote_falls_back_without_signal():
+    # blank image: no ink → the portrait→landscape fallback fires
+    blank = np.full((40, 20), 255, np.uint8)
+    assert I.orient_upright(blank).shape == (20, 40)
+    # symmetric stripe card: 0 vs 180 indistinguishable (margin < 10%)
+    # → fallback keeps a landscape card untouched
+    sym = I.synth_card(bg=200, n_stripes=5)
+    assert np.array_equal(I.orient_upright(sym), sym)
+
+
+def test_p13_denoise_preserves_edges_removes_noise():
+    """Bilateral stage: checkerboard noise on a flat card is smoothed
+    away while a strong step edge survives."""
+    rng = np.random.RandomState(7)
+    flat = np.full((40, 60), 128, np.int16)
+    noisy = np.clip(
+        flat + rng.randint(-8, 9, flat.shape), 0, 255).astype(np.uint8)
+    den = I.denoise_bilateral(noisy)
+    assert den.astype(float).std() < noisy.astype(float).std() * 0.5
+    step = np.full((40, 60), 30, np.uint8)
+    step[:, 30:] = 220
+    dstep = I.denoise_bilateral(step)
+    # the edge columns stay within a few grey levels of the original
+    assert abs(int(dstep[20, 29]) - 30) <= 6
+    assert abs(int(dstep[20, 30]) - 220) <= 6
+
+
 def test_p11_deskew_recovers_known_skew():
     skewed = I.synth_card(bg=200, n_stripes=6, h=128, w=192,
                           skew_deg=3.0)
@@ -107,9 +143,13 @@ def test_p12_p13_composed_shapes():
     # orient → 48×96 → resize to w=1000 → 500×1000 → pad 20 each side
     assert out.shape == (540, 1040)
     assert out[0, 0] == 255
+    # reference semantics: resize only when wider than OUTPUT_WIDTH
+    # (image_preprocessor.py:372-374) — a 96-px card is NOT upscaled
     sim = I.smart_sim(I.synth_card(bg=120, n_stripes=6, h=64, w=96))
-    assert sim.shape[1] == 1640          # 1600 + 2·20
-    assert sim.shape[0] > 40
+    assert sim.shape == (64 + 40, 96 + 40)
+    wide = I.smart_sim(
+        I.synth_card(bg=120, n_stripes=6, h=80, w=1800))
+    assert wide.shape[1] == 1640         # 1600 + 2·20
 
 
 def test_img1_roundtrip_and_rejects():
@@ -166,3 +206,119 @@ def test_p10_gate_skips_near_rectangular_quads():
     assert I.find_card_quad(frame) is not None
     assert not I.should_warp(I.find_card_quad(frame))
     assert np.array_equal(I.perspective_correct(frame), frame)
+
+
+# ---------------------------------------------------------------------------
+# S2 real-format decode + P5 color path
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(arr, color_type, filters=None):
+    """Minimal PNG encoder for tests (8-bit, non-interlaced)."""
+    import struct
+    import zlib
+
+    h = arr.shape[0]
+    w = arr.shape[1]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch)
+    filters = filters or [0] * h
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, ft in zip(range(h), filters):
+        line = flat[y].astype(np.int64)
+        if ft == 0:
+            enc = line
+        elif ft == 1:   # Sub
+            a = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            enc = (line - a) & 0xFF
+        elif ft == 2:   # Up
+            enc = (line - prev) & 0xFF
+        else:
+            raise ValueError(ft)
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = line
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_s2_decode_pgm_p5_p2():
+    img = I.synth_card(bg=150, n_stripes=4, h=10, w=12)
+    p5 = b"P5\n# comment\n12 10\n255\n" + img.tobytes()
+    assert np.array_equal(I.decode_pgm(p5), img)
+    p2 = ("P2\n12 10\n255\n"
+          + " ".join(str(v) for v in img.ravel())).encode()
+    assert np.array_equal(I.decode_pgm(p2), img)
+    assert I.decode_pgm(b"P6junk") is None
+    assert I.decode_pgm(b"P5\n12 10\n255\n\x00\x01") is None  # truncated
+
+
+def test_s2_decode_png_gray_rgb_filters():
+    gray = I.synth_card(bg=90, n_stripes=3, h=9, w=11)
+    assert np.array_equal(I.decode_png(_png_bytes(gray, 0)), gray)
+    # every supported encode filter must round-trip
+    assert np.array_equal(
+        I.decode_png(_png_bytes(gray, 0, filters=[1, 2, 0] * 3)), gray)
+    rgb = np.stack([gray, gray // 2, 255 - gray], axis=-1)
+    assert np.array_equal(I.decode_png(_png_bytes(rgb, 2)), rgb)
+    assert I.decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert I.decode_png(None) is None
+
+
+def test_s2_decode_any_dispatch():
+    img = I.synth_card(bg=120, n_stripes=2, h=8, w=8)
+    assert np.array_equal(I.decode_any(I.encode_img1(img)), img)
+    assert np.array_equal(I.decode_any(_png_bytes(img, 0)), img)
+    assert I.decode_any(b"garbage") is None
+
+
+def test_p5_lab_roundtrip_and_known_values():
+    # known CIELAB values (D65, sRGB): white, mid grey, pure red
+    white = np.full((1, 1, 3), 255, np.uint8)
+    lab = I.rgb_to_lab(white)
+    assert abs(lab[0, 0, 0] - 100.0) < 0.01
+    assert abs(lab[0, 0, 1]) < 0.01 and abs(lab[0, 0, 2]) < 0.01
+    red = np.zeros((1, 1, 3), np.uint8)
+    red[..., 0] = 255
+    lr = I.rgb_to_lab(red)[0, 0]
+    assert abs(lr[0] - 53.24) < 0.1
+    assert abs(lr[1] - 80.09) < 0.2
+    assert abs(lr[2] - 67.20) < 0.2
+    # roundtrip over a color gradient: exact up to quantization
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    back = I.lab_to_rgb(I.rgb_to_lab(img))
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_p5_clahe_lab_l_boosts_contrast_keeps_color():
+    # low-contrast color card: narrow L range around mid grey (256² so
+    # the clip limit has realistic per-tile pixel counts, as in the
+    # grayscale CLAHE test above)
+    g = I.synth_card(bg=140, n_stripes=8, fg=110, h=256, w=256)
+    img = np.stack([g, (g * 0.9).astype(np.uint8),
+                    (g * 0.8).astype(np.uint8)], axis=-1)
+    out = I.clahe_lab_l(img, clip_limit=4.0)
+    l_in = I.rgb_to_lab(img)[..., 0]
+    l_out = I.rgb_to_lab(out)[..., 0]
+    assert l_out.std() > l_in.std()            # contrast boosted
+    # chroma is preserved within tolerance (a/b untouched)
+    ab_in = I.rgb_to_lab(img)[..., 1:]
+    ab_out = I.rgb_to_lab(out)[..., 1:]
+    assert float(np.abs(ab_in - ab_out).mean()) < 2.5
+
+
+def test_s2_media_decode_image_color_to_gray():
+    from indonesian_id_ocr_service_spark.operators import media as M
+    gray = I.synth_card(bg=130, n_stripes=3, h=12, w=14)
+    assert np.array_equal(M.decode_image(I.encode_img1(gray)), gray)
+    rgb = np.stack([gray] * 3, axis=-1)
+    out = M.decode_image(_png_bytes(rgb, 2))
+    # neutral color → Rec.601 luma equals the input gray exactly
+    assert out.shape == gray.shape
+    assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 1
+    assert M.decode_image(b"junk") is None

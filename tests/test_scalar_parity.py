@@ -164,3 +164,37 @@ def test_best_candidate_parity(spark):
             assert abs(g["confidence"] - exp["confidence"]) < 1e-9, (
                 s, g, exp)
             assert g["source"] == exp["source"], (s, g, exp)
+
+
+def test_document_type_three_way_parity(spark):
+    """C1 parity: kernel Python twin (classify.document_type_py) vs the
+    pure-Python oracle vs the JVM Column expression, over the generated
+    corpus's text views (all three doc classes + alt views)."""
+    from indonesian_id_ocr_service_spark.corpus.generator import doc_rows
+    from indonesian_id_ocr_service_spark.operators import classify
+    from indonesian_id_ocr_service_spark.oracle.ktp import (
+        identify_document_type as oracle_type,
+    )
+
+    views = []
+    for row in doc_rows(600, fractions=(0.4, 0.4, 0.2)):
+        _id, spans, _g, _c, alt_spans, _ag = row
+        views.append([s["text"] for s in spans if s["kind"] == "text"])
+        if alt_spans:
+            views.append(
+                [s["text"] for s in alt_spans if s["kind"] == "text"])
+
+    py = [classify.document_type_py(t) for t in views]
+    ora = [oracle_type(t) for t in views]
+    assert py == ora
+
+    sdf = spark.createDataFrame(
+        [([t for t in v],) for v in views], "texts array<string>")
+    spans_like = F.transform(
+        F.col("texts"),
+        lambda t: F.struct(
+            F.lit("text").alias("kind"), t.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset")))
+    jvm = [r[0] for r in sdf.select(
+        classify.document_type(spans_like)).collect()]
+    assert jvm == py

@@ -135,7 +135,8 @@ def main() -> None:
     # windows; a single sample is not a measurement). Steal%% recorded
     # per run so a polluted window is visible in the record.
     pipe_runs: list[tuple[float, float]] = []
-    for _ in range(2):
+
+    def _pipe_once():
         shutil.rmtree(out_path, ignore_errors=True)
         sec, steal = _timed(
             lambda: run_pipeline(src).write.mode("overwrite").parquet(out_path))
@@ -143,6 +144,13 @@ def main() -> None:
         print(f"[bench] pipeline run {sec:.1f}s "
               f"({n_docs / sec:.0f} docs/s, steal {steal:.1f}%)",
               file=sys.stderr, flush=True)
+
+    _pipe_once()
+    _pipe_once()
+    # disparity → one of the runs hit a degraded-host window (they can
+    # exceed an hour and show ~0 steal); buy a third sample
+    if max(r[0] for r in pipe_runs) > 1.8 * min(r[0] for r in pipe_runs):
+        _pipe_once()
     pipe_sec = min(r[0] for r in pipe_runs)
     total += pipe_sec
     n_out = spark.read.parquet(out_path).count()
@@ -172,6 +180,11 @@ def main() -> None:
         # credibility of the number (round-2 verdict).
         runs = []
         for _ in range(2):
+            sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
+            runs.append([round(sec, 3), steal])
+        # >1.8x disparity → one sample hit a degraded-host window;
+        # a third run costs little next to recording the wrong number
+        if max(r[0] for r in runs) > 1.8 * min(r[0] for r in runs):
             sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
             runs.append([round(sec, 3), steal])
         best = min(r[0] for r in runs)

@@ -146,12 +146,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     from pyspark.sql.window import Window
 
     def keyed(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        """(id, vec) → one row per (table, key): bucket keys via a
-        numpy kernel — all L·b projections are ONE ±1 matrix product
-        per batch (BLAS), vs 48 interpreted HOF trees per row in the
-        expression form (measured 200+ s for 500 rows). The fold over
-        dimensions is sequential (loop over dim, vectorized over rows)
-        so the float sums are bit-identical to DuckDB list_reduce."""
+        """(id, vec) → one row per (table, key), IDS ONLY: bucket keys
+        via a numpy kernel — all L·b projections are ONE ±1 matrix
+        product per batch (BLAS), vs 48 interpreted HOF trees per row
+        in the expression form (measured 200+ s for 500 rows). The fold
+        over dimensions is sequential (loop over dim, vectorized over
+        rows) so the float sums are bit-identical to DuckDB
+        list_reduce. Vectors are NOT carried through the bucket rows —
+        each id would otherwise ship its embedding L times through the
+        candidate join and dedup exchanges; they re-join after the
+        id-level dedup instead."""
         import pandas as pd
 
         signs = _plane_signs(n_tables, n_planes, dim)
@@ -163,8 +167,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                                  for v in pdf[vc]])
                 n = len(pdf)
                 if n == 0 or vecs.size == 0:
-                    yield pd.DataFrame(
-                        columns=[idc, vc, "tbl", "key"])
+                    yield pd.DataFrame(columns=[idc, "tbl", "key"])
                     continue
                 acc = np.zeros((n, n_tables * n_planes))
                 for i in range(dim):          # exact left-fold order
@@ -176,27 +179,31 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                         key = "".join(
                             "1" if bits[r, t * n_planes + j] else "0"
                             for j in range(n_planes))
-                        rows.append((ids.iloc[r], pdf[vc].iloc[r],
-                                     t, key))
-                yield pd.DataFrame(
-                    rows, columns=[idc, vc, "tbl", "key"])
+                        rows.append((ids.iloc[r], t, key))
+                yield pd.DataFrame(rows, columns=[idc, "tbl", "key"])
 
-        vec_type = dict(df.dtypes)[vc]
         return df.select(idc, vc).mapInPandas(
-            gen, f"{idc} long, {vc} {vec_type}, tbl int, key string")
+            gen, f"{idc} long, tbl int, key string")
 
-    qk = keyed(
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv")), "query_id", "qv")
-    ck = keyed(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv")), "neighbor_id", "cv")
-    pairs = (
+    qv_df = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+    cv_df = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"))
+    qk = keyed(qv_df, "query_id", "qv")
+    ck = keyed(cv_df, "neighbor_id", "cv")
+    pair_ids = (
         ck.join(F.broadcast(qk),
                 (ck["tbl"] == qk["tbl"]) & (ck["key"] == qk["key"])
                 & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # vectors join back AFTER the dedup: the candidate-id set is tiny
+    # next to the corpus, so the corpus side resolves as a semi-join-
+    # shaped hash join (ids-only exchange), and query vectors broadcast
+    pairs = (
+        pair_ids.join(cv_df, "neighbor_id")
+        .join(F.broadcast(qv_df), "query_id")
     )
     sims = pairs.select(
         "query_id", "neighbor_id",

@@ -101,6 +101,14 @@ def _ratio_f(a: str, b: str) -> float:
     return 100.0 * (total - indel_distance(a, b)) / total
 
 
+@lru_cache(maxsize=16384)
+def _prepped_matcher(longer: str) -> SequenceMatcher:
+    """SequenceMatcher with the b-side (the expensive ``__chain_b``
+    prep) baked in; callers vary seq1. One text span is compared
+    against many vocabulary labels, so the b-side prep amortizes."""
+    return SequenceMatcher(None, "", longer, autojunk=False)
+
+
 def partial_ratio(a: str | None, b: str | None) -> int:
     """Best InDel ratio between the shorter string and any same-length
     window of the longer, window starts seeded by SequenceMatcher
@@ -112,7 +120,8 @@ def partial_ratio(a: str | None, b: str | None) -> int:
     shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
     if shorter == longer:
         return 100
-    m = SequenceMatcher(None, shorter, longer, autojunk=False)
+    m = _prepped_matcher(longer)
+    m.set_seq1(shorter)
     best = 0.0
     for block in m.get_matching_blocks():
         start = max(block.b - block.a, 0)
@@ -125,8 +134,11 @@ def partial_ratio(a: str | None, b: str | None) -> int:
     return int(round(best))
 
 
-def _sorted_tokens(s: str) -> list[str]:
-    return sorted(full_process(s).split())
+@lru_cache(maxsize=65536)
+def _sorted_tokens(s: str) -> tuple[str, ...]:
+    """Memoized: extract_one re-tokenizes the SAME query once per
+    choice (56× for the job vocabulary) without this."""
+    return tuple(sorted(full_process(s).split()))
 
 
 def token_sort_ratio(a: str | None, b: str | None) -> int:
@@ -135,7 +147,14 @@ def token_sort_ratio(a: str | None, b: str | None) -> int:
 
 
 def token_set_ratio(a: str | None, b: str | None) -> int:
-    """fuzz.token_set_ratio: compare intersection-anchored token strings."""
+    """fuzz.token_set_ratio: compare intersection-anchored token strings.
+
+    The two inter-vs-sect components are closed-form — ``inter`` is a
+    prefix (hence subsequence) of each sect string, so
+    LCS(inter, sect) = len(inter) and the InDel ratio is exactly
+    200·li/(li+lsect) — only the sect_a↔sect_b comparison needs the
+    bit-parallel LCS. Verified equal to the three-ratio form in
+    tests/test_fuzzy_bitparallel.py."""
     ta = set(_sorted_tokens(a or ""))
     tb = set(_sorted_tokens(b or ""))
     if not ta and not tb:
@@ -143,11 +162,16 @@ def token_set_ratio(a: str | None, b: str | None) -> int:
     inter = " ".join(sorted(ta & tb))
     sect_a = (inter + " " + " ".join(sorted(ta - tb))).strip()
     sect_b = (inter + " " + " ".join(sorted(tb - ta))).strip()
-    return max(
-        ratio(inter, sect_a),
-        ratio(inter, sect_b),
-        ratio(sect_a, sect_b),
-    )
+    li = len(inter)
+    best = 0
+    if li:
+        best = max(
+            int(round(200.0 * li / (li + len(sect_a)))),
+            int(round(200.0 * li / (li + len(sect_b)))),
+        )
+        if best == 100:            # one token set contains the other
+            return 100
+    return max(best, ratio(sect_a, sect_b))
 
 
 def _partial_token_sort_ratio(a: str, b: str) -> int:
@@ -227,7 +251,42 @@ def _partial_upper_bound(qc: dict, qlen: int, c: str) -> float:
     return 200.0 * c_eff / (s_len + c_eff)
 
 
-def extract_one(query: str | None, choices, scorer=wratio, process_inputs=True):
+def _token_set_ratio_floored(a: str, b: str, floor: int) -> int:
+    """token_set_ratio, exact for results > ``floor``; results ≤ floor
+    may be under-reported (the cheap closed-form component is returned
+    when a char-multiset bound proves the sect↔sect InDel component
+    cannot exceed the floor — LCS ≤ common char multiset)."""
+    ta = set(_sorted_tokens(a))
+    tb = set(_sorted_tokens(b))
+    if not ta and not tb:
+        return 0
+    inter = " ".join(sorted(ta & tb))
+    sect_a = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sect_b = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    li, la, lb = len(inter), len(sect_a), len(sect_b)
+    best = 0
+    if li:
+        best = max(
+            int(round(200.0 * li / (li + la))),
+            int(round(200.0 * li / (li + lb))),
+        )
+        if best == 100:
+            return 100
+    if best <= floor and la + lb:
+        ca = _char_counts(sect_a)
+        cb = _char_counts(sect_b)
+        common = 0
+        for ch, n in ca.items():
+            m = cb.get(ch)
+            if m:
+                common += n if n < m else m
+        if int(round(200.0 * common / (la + lb))) <= floor:
+            return best
+    return max(best, ratio(sect_a, sect_b))
+
+
+def extract_one(query: str | None, choices, scorer=wratio,
+                process_inputs=True, score_cutoff: int | None = None):
     """thefuzz's ``process.extractOne``: best (choice, score) by scorer.
 
     Applies ``full_process`` to both sides by default (as thefuzz does even
@@ -238,6 +297,12 @@ def extract_one(query: str | None, choices, scorer=wratio, process_inputs=True):
     bound cannot beat the current best are skipped — strictly
     result-preserving (the bound dominates the score and ties keep the
     earlier choice).
+
+    ``score_cutoff``: when set, scores BELOW the cutoff are not
+    distinguished — choices whose upper bound is < cutoff may be
+    skipped entirely, so the returned (choice, score) is exact only
+    when score ≥ cutoff. For callers that threshold the result at
+    ≥ cutoff this is result-preserving and much cheaper.
     """
     if query is None:
         return None, 0
@@ -245,15 +310,21 @@ def extract_one(query: str | None, choices, scorer=wratio, process_inputs=True):
     if not q:
         return None, 0
     prune = scorer is partial_ratio
+    tsr = scorer is token_set_ratio and score_cutoff is not None
     qc = _char_counts(q) if prune else None
     best_choice, best_score = None, -1
+    floor0 = -1 if score_cutoff is None else score_cutoff - 1
     for choice in choices:
         c = full_process(choice) if process_inputs else str(choice)
         if not c:
             continue
-        if prune and _partial_upper_bound(qc, len(q), c) <= best_score:
+        floor = best_score if best_score > floor0 else floor0
+        if prune and _partial_upper_bound(qc, len(q), c) <= floor:
             continue
-        s = scorer(q, c)
+        if tsr:
+            s = _token_set_ratio_floored(q, c, floor)
+        else:
+            s = scorer(q, c)
         if s > best_score:
             best_choice, best_score = choice, s
     if best_choice is None:

@@ -73,9 +73,14 @@ _LEAD_PUNCT = re.compile(r"^[:\-\.\s]+")
 
 @lru_cache(maxsize=262144)
 def _label_match(text: str) -> tuple[str, int]:
-    """Best (canonical_label, partial_ratio) for a raw span text."""
+    """Best (canonical_label, partial_ratio) for a raw span text.
+
+    Exact only for scores ≥ 81 (score_cutoff pruning): the two
+    consumers threshold at > 80 and > 85, so sub-cutoff scores don't
+    need to be distinguished."""
     best, score = fuzzy.extract_one(text, _LABELS,
-                                    scorer=fuzzy.partial_ratio)
+                                    scorer=fuzzy.partial_ratio,
+                                    score_cutoff=81)
     return best or "", int(score)
 
 

@@ -133,26 +133,65 @@ def cluster_rows(items: list[dict]) -> list[list[dict]]:
     return rows
 
 
-@lru_cache(maxsize=131072)
-def identify_field(text: str, threshold: float = 0.65) -> str | None:
-    """M2 anchor tagging via difflib SequenceMatcher + substring bonus
-    (sim_extractor.py:239-261)."""
-    if not text:
-        return None
-    clean = re.sub(r"[^a-zA-Z]", "", text).lower()
-    if len(clean) < 4:
-        return None
-    best_ratio, best_key = 0.0, None
+def _anchor_variants():
+    """Precompiled (key, clean_variant, char_counts, len) rows — the
+    vocabulary side of M2 never changes."""
+    rows = []
     for key, variants in ANCHORS.items():
         for var in variants:
             cv = re.sub(r"[^a-zA-Z]", "", var).lower()
             if len(cv) < 3:
                 continue
-            ratio = SequenceMatcher(None, clean, cv).ratio()
-            if cv in clean and len(cv) >= 4:
-                ratio = max(ratio, 0.90)
-            if ratio > best_ratio:
-                best_ratio, best_key = ratio, key
+            counts: dict = {}
+            for ch in cv:
+                counts[ch] = counts.get(ch, 0) + 1
+            rows.append((key, cv, counts, len(cv)))
+    return rows
+
+
+_ANCHOR_ROWS = _anchor_variants()
+
+
+@lru_cache(maxsize=131072)
+def identify_field(text: str, threshold: float = 0.65) -> str | None:
+    """M2 anchor tagging via difflib SequenceMatcher + substring bonus
+    (sim_extractor.py:239-261).
+
+    Result-preserving pruning: difflib ratio = 2M/(la+lb) with
+    M ≤ min(common-char multiset, la, lb), so a variant whose bound
+    can't strictly beat the running best AND can't reach the threshold
+    never changes the outcome (the returned key only matters when the
+    final best ≥ threshold, and any variant reaching the threshold
+    clears its own bound)."""
+    if not text:
+        return None
+    clean = re.sub(r"[^a-zA-Z]", "", text).lower()
+    la = len(clean)
+    if la < 4:
+        return None
+    tc: dict = {}
+    for ch in clean:
+        tc[ch] = tc.get(ch, 0) + 1
+    best_ratio, best_key = 0.0, None
+    for key, cv, counts, lb in _ANCHOR_ROWS:
+        sub = lb >= 4 and cv in clean
+        common = 0
+        for ch, m in counts.items():
+            n = tc.get(ch)
+            if n:
+                common += m if m < n else n
+        bound = 2.0 * min(common, la, lb) / (la + lb)
+        cand_bound = 0.90 if (sub and bound < 0.90) else bound
+        if cand_bound <= best_ratio or cand_bound < threshold:
+            continue
+        if sub and bound <= 0.90:
+            r = 0.90           # SequenceMatcher can't exceed the bonus
+        else:
+            r = SequenceMatcher(None, clean, cv).ratio()
+            if sub:
+                r = max(r, 0.90)
+        if r > best_ratio:
+            best_ratio, best_key = r, key
     return best_key if best_ratio >= threshold else None
 
 
@@ -167,7 +206,8 @@ def is_job(text: str) -> bool:
             return True
     if len(tu) >= 4:
         _, score = fuzzy.extract_one(tu, ALL_PEKERJAAN_TERMS,
-                                     scorer=fuzzy.token_set_ratio)
+                                     scorer=fuzzy.token_set_ratio,
+                                     score_cutoff=80)
         return score >= 80
     return False
 

@@ -157,12 +157,16 @@ def run_pipeline(df: DataFrame, include_sim: bool = True,
 def _run_pipeline_kernel(df: DataFrame) -> DataFrame:
     from .operators.unified_extract import (
         FULL_KERNEL_SCHEMA,
-        full_kernel_batch,
+        full_kernel_batch_arrow,
     )
 
     src = with_default_geometry(df)
-    wide = _kernel_input(src).mapInPandas(
-        full_kernel_batch, schema=FULL_KERNEL_SCHEMA
+    # mapInArrow, not mapInPandas: Arrow→pandas conversion of the
+    # array<struct> span columns builds a dict per span (~3.4
+    # core-ms/doc, allocation-bound → also caps multi-core scaling);
+    # the arrow kernel reads flattened child arrays + offsets directly
+    wide = _kernel_input(src).mapInArrow(
+        full_kernel_batch_arrow, schema=FULL_KERNEL_SCHEMA
     )
     is_ktp = F.col("doc_type") == "KTP"
     is_sim = F.col("doc_type") == "SIM"

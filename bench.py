@@ -182,9 +182,12 @@ def main() -> None:
         for _ in range(2):
             sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
             runs.append([round(sec, 3), steal])
-        # >1.8x disparity → one sample hit a degraded-host window;
-        # a third run costs little next to recording the wrong number
-        if max(r[0] for r in runs) > 1.8 * min(r[0] for r in runs):
+        # disparity or a slow best → at least one sample hit a
+        # degraded-host window (both can: observed 32.5s/20.9s pairs
+        # for a 2s query); a third run costs little next to recording
+        # the wrong number
+        if max(r[0] for r in runs) > 1.5 * min(r[0] for r in runs) \
+                or min(r[0] for r in runs) > 10.0:
             sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
             runs.append([round(sec, 3), steal])
         best = min(r[0] for r in runs)

@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": QD.q_minhash_lsh,
         "ngram_jaccard": QD.q_ngram_jaccard,
         "dedup_verified": QD.q_dedup_verified,
+        "dedup_embedding": QD.q_dedup_embedding,
         "simhash": QD.q_simhash,
         "ann_cosine_topk": QD.q_ann_cosine_topk,
         "ann_lsh_bucket": QD.q_ann_lsh_bucket,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": QD.SQL_MINHASH_LSH,
         "ngram_jaccard": QD.SQL_NGRAM_JACCARD,
         "dedup_verified": QD.SQL_DEDUP_VERIFIED,
+        "dedup_embedding": QD.SQL_DEDUP_EMBEDDING,
         "simhash": QD.SQL_SIMHASH,
         "ann_cosine_topk": QD.SQL_ANN_COSINE,
         "ann_lsh_bucket": QD.SQL_ANN_LSH_BUCKET,

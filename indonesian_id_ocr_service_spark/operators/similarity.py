@@ -128,6 +128,84 @@ def _plane_signs(n_tables: int, n_planes: int, dim: int):
     return s
 
 
+def bucket_keys(df: DataFrame, idc: str, vc: str,
+                n_tables: int = 12, n_planes: int = 4,
+                dim: int = 64) -> DataFrame:
+    """(id, vec) → one row per (table, key), IDS ONLY: bucket keys via
+    a numpy kernel — all L·b projections are ONE ±1 matrix product per
+    batch (BLAS), vs 48 interpreted HOF trees per row in the
+    expression form (measured 200+ s for 500 rows). The fold over
+    dimensions is sequential (loop over dim, vectorized over rows) so
+    the float sums are bit-identical to DuckDB list_reduce. Vectors
+    are NOT carried through the bucket rows — each id would otherwise
+    ship its embedding L times through downstream join/dedup
+    exchanges."""
+    import pandas as pd
+
+    signs = _plane_signs(n_tables, n_planes, dim)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[idc]
+            vecs = np.array([np.asarray(v, dtype=np.float64)
+                             for v in pdf[vc]])
+            n = len(pdf)
+            if n == 0 or vecs.size == 0:
+                yield pd.DataFrame(columns=[idc, "tbl", "key"])
+                continue
+            acc = np.zeros((n, n_tables * n_planes))
+            for i in range(dim):          # exact left-fold order
+                acc += np.outer(vecs[:, i], signs[i])
+            bits = acc > 0
+            rows = []
+            for r in range(n):
+                for t in range(n_tables):
+                    key = "".join(
+                        "1" if bits[r, t * n_planes + j] else "0"
+                        for j in range(n_planes))
+                    rows.append((ids.iloc[r], t, key))
+            yield pd.DataFrame(rows, columns=[idc, "tbl", "key"])
+
+    return df.select(idc, vc).mapInPandas(
+        gen, f"{idc} long, tbl int, key string")
+
+
+def embedding_near_dup(corpus: DataFrame, threshold: float = 0.9,
+                       n_tables: int = 12, n_planes: int = 4,
+                       dim: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup flavour of the
+    ANN machinery: multi-table hyperplane-LSH buckets → candidate pairs
+    (id < id, ids-only self-join on (tbl, key)) → id-level dedup →
+    vectors re-joined → exact cosine ≥ threshold.
+
+    100-TB shape: the quadratic step happens only inside buckets
+    (md5-uniform keys, no skew); the only all-rows shuffle carries
+    (id, tbl, key) — never the vectors, which join back against the
+    tiny candidate set."""
+    base = corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"))
+    k = bucket_keys(base, "id", "v", n_tables, n_planes, dim)
+    a, b = k.alias("a"), k.alias("b")
+    pair_ids = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sims = (
+        pair_ids.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va").cast("array<double>"),
+                               F.col("vb").cast("array<double>")),
+                        5).alias("sim"))
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              n_tables: int = 12, n_planes: int = 4, dim: int = 64,
              id_col: str = "vec_id",
@@ -145,52 +223,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     computed once."""
     from pyspark.sql.window import Window
 
-    def keyed(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        """(id, vec) → one row per (table, key), IDS ONLY: bucket keys
-        via a numpy kernel — all L·b projections are ONE ±1 matrix
-        product per batch (BLAS), vs 48 interpreted HOF trees per row
-        in the expression form (measured 200+ s for 500 rows). The fold
-        over dimensions is sequential (loop over dim, vectorized over
-        rows) so the float sums are bit-identical to DuckDB
-        list_reduce. Vectors are NOT carried through the bucket rows —
-        each id would otherwise ship its embedding L times through the
-        candidate join and dedup exchanges; they re-join after the
-        id-level dedup instead."""
-        import pandas as pd
-
-        signs = _plane_signs(n_tables, n_planes, dim)
-
-        def gen(batches):
-            for pdf in batches:
-                ids = pdf[idc]
-                vecs = np.array([np.asarray(v, dtype=np.float64)
-                                 for v in pdf[vc]])
-                n = len(pdf)
-                if n == 0 or vecs.size == 0:
-                    yield pd.DataFrame(columns=[idc, "tbl", "key"])
-                    continue
-                acc = np.zeros((n, n_tables * n_planes))
-                for i in range(dim):          # exact left-fold order
-                    acc += np.outer(vecs[:, i], signs[i])
-                bits = acc > 0
-                rows = []
-                for r in range(n):
-                    for t in range(n_tables):
-                        key = "".join(
-                            "1" if bits[r, t * n_planes + j] else "0"
-                            for j in range(n_planes))
-                        rows.append((ids.iloc[r], t, key))
-                yield pd.DataFrame(rows, columns=[idc, "tbl", "key"])
-
-        return df.select(idc, vc).mapInPandas(
-            gen, f"{idc} long, tbl int, key string")
-
     qv_df = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("qv"))
     cv_df = corpus.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("cv"))
-    qk = keyed(qv_df, "query_id", "qv")
-    ck = keyed(cv_df, "neighbor_id", "cv")
+    qk = bucket_keys(qv_df, "query_id", "qv", n_tables, n_planes, dim)
+    ck = bucket_keys(cv_df, "neighbor_id", "cv", n_tables, n_planes,
+                     dim)
     pair_ids = (
         ck.join(F.broadcast(qk),
                 (ck["tbl"] == qk["tbl"]) & (ck["key"] == qk["key"])

@@ -535,6 +535,75 @@ WHERE rn <= 3 ORDER BY query_id, rn
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets →
+# candidate pairs (ids-only) → exact cosine verify ≥ 0.9. The testdata
+# embeddings are mutually dissimilar (max pairwise cosine 0.51), so
+# near-duplicates are PLANTED deterministically: vec_id < 40 get a
+# perturbed copy at vec_id + 100000 (per-element + 0.02·((i%5)−2) on
+# the double-cast vector — identical IEEE arithmetic on both engines).
+# Expected output: exactly the planted (orig, copy) pairs that share
+# ≥1 LSH bucket, cosine ≈ 0.999.
+# ---------------------------------------------------------------------------
+
+
+def _emb_with_dups(spark, sf_dir):
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    dup = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + 0.02 * ((i % 5) - 2)
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    corpus = _emb_with_dups(spark, sf_dir)
+    return SIM.embedding_near_dup(corpus, threshold=0.9).orderBy(
+        "id_a", "id_b")
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, len(v)),
+                        i -> v[i] + 0.02 * (((i - 1) % 5) - 2))
+  FROM base WHERE vec_id < 40
+), keys AS (
+  {_KEYS_SQL}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, k.vec_id AS id_b
+  FROM keys a JOIN keys k
+    ON a.tbl = k.tbl AND a.key = k.key AND a.vec_id < k.vec_id
+), v AS (
+  SELECT p.id_a, p.id_b,
+         round(CASE WHEN sqrt(list_dot_product(ba.v, ba.v))
+                         * sqrt(list_dot_product(bb.v, bb.v)) > 0
+                    THEN list_dot_product(ba.v, bb.v)
+                         / (sqrt(list_dot_product(ba.v, ba.v))
+                            * sqrt(list_dot_product(bb.v, bb.v)))
+                    ELSE 0.0 END, 5) AS sim
+  FROM pairs p
+  JOIN b ba ON ba.vec_id = p.id_a
+  JOIN b bb ON bb.vec_id = p.id_b
+)
+SELECT id_a, id_b, sim FROM v WHERE sim >= 0.9 ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Composed dedup pipeline: MinHash-LSH candidate pairs → exact n-gram
 # Jaccard verification → confirmed duplicate pairs. This is the actual
 # 100-TB dedup shape: the quadratic step happens only inside LSH

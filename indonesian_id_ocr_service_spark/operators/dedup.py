@@ -17,6 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -133,6 +134,48 @@ def simhash32(text: Column) -> Column:
                     lambda v: F.when(v > 0, F.lit("1")).otherwise("0")),
         "",
     )
+
+
+def simhash32_kernel(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Arrow-kernel form of simhash32 — identical bits, ~10× cheaper:
+    the expression form is an interpreted aggregate-over-zip_with tree
+    (32 nibble votes per token, HOF dataType recursion — BENCH.md
+    round-1 notes). Here normalization stays JVM-side (codegen) and
+    the votes run per batch in Python with per-unique-token md5
+    memoization (votes are additive, so duplicate tokens reuse the
+    sign vector)."""
+    import pandas as pd
+
+    from ..functions.text_analysis import normalize_text
+
+    def gen(batches):
+        import hashlib
+
+        hexset = set("89abcdef")
+        cache: dict = {}
+        for pdf in batches:
+            sims = []
+            for txt in pdf["_norm"]:
+                votes = np.zeros(32, dtype=np.int64)
+                for tk in (txt or "").split(" "):
+                    s = cache.get(tk)
+                    if s is None:
+                        h = hashlib.md5(tk.encode()).hexdigest()
+                        s = np.fromiter(
+                            (1 if c in hexset else -1 for c in h),
+                            dtype=np.int64, count=32)
+                        cache[tk] = s
+                    votes += s
+                sims.append(
+                    "".join("1" if v > 0 else "0" for v in votes))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sims})
+
+    src = df.select(
+        F.col(id_col),
+        normalize_text(F.col(text_col)).alias("_norm"))
+    id_type = dict(df.dtypes)[id_col]
+    return src.mapInPandas(gen, f"{id_col} {id_type}, simhash string")
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

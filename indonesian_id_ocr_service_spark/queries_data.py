@@ -156,8 +156,10 @@ ORDER BY doc_a
 
 def q_simhash(spark, sf_dir):
     df = _docs(spark, sf_dir)
-    return df.select("doc_id",
-                     DD.simhash32(F.col("text")).alias("simhash"))
+    # Arrow kernel (scale path); the JVM expression form simhash32 is
+    # the verification twin (tests/test_properties.py asserts equal
+    # bits on the same corpus)
+    return DD.simhash32_kernel(df, "doc_id", "text")
 
 
 SQL_SIMHASH = f"""

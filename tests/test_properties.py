@@ -86,3 +86,21 @@ def test_date_noise_roundtrip():
             noisy, canonical)
         ok += 1
     assert ok == total
+
+
+def test_simhash_kernel_matches_jvm_expression(spark):
+    """The Arrow-kernel SimHash and the JVM aggregate-over-zip_with
+    expression produce identical bit strings (same md5 nibble votes)."""
+    from pyspark.sql import functions as F
+
+    from indonesian_id_ocr_service_spark.operators import dedup as DD
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    jvm = df.select("doc_id", DD.simhash32(F.col("text")).alias("simhash"))
+    ker = DD.simhash32_kernel(df, "doc_id", "text")
+    a = {r["doc_id"]: r["simhash"] for r in jvm.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in ker.collect()}
+    assert a == b and len(a) > 0

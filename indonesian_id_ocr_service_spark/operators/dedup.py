@@ -68,32 +68,69 @@ def minhash_signature(text: Column, n_hashes: int = 12,
     )
 
 
+def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 12,
+                      band_size: int = 2,
+                      shingle_k: int = 3) -> DataFrame:
+    """(id, text) → one (doc, band, key) row per LSH band — the Arrow-
+    kernel form of minhash_signature + banding. Identical hashes/keys
+    to the expression form (parity-tested): the JVM tree evaluates
+    n_hashes interpreted transform-over-shingles trees per row (~2,400
+    md5 + type-walks per doc — the HOF dataType recursion pathology);
+    here normalization stays JVM-side and the per-batch kernel
+    memoizes the n-hash md5 vector per UNIQUE shingle."""
+    import pandas as pd
+
+    n_bands = n_hashes // band_size
+
+    def gen(batches):
+        import hashlib
+
+        cache: dict = {}
+        for pdf in batches:
+            docs, bands, keys = [], [], []
+            for doc, t in zip(pdf[id_col], pdf["_norm"]):
+                t = t or ""
+                ws = t.split(" ")
+                if len(ws) >= shingle_k:
+                    shingles = [
+                        " ".join(ws[i:i + shingle_k])
+                        for i in range(len(ws) - shingle_k + 1)
+                    ]
+                else:
+                    shingles = [t]
+                rows = []
+                for s in shingles:
+                    v = cache.get(s)
+                    if v is None:
+                        v = [hashlib.md5(f"{j}:{s}".encode()).hexdigest()
+                             for j in range(n_hashes)]
+                        cache[s] = v
+                    rows.append(v)
+                sig = [min(r[j] for r in rows)
+                       for j in range(n_hashes)]
+                for b in range(n_bands):
+                    docs.append(doc)
+                    bands.append(b)
+                    keys.append("|".join(
+                        sig[b * band_size + r]
+                        for r in range(band_size)))
+            yield pd.DataFrame(
+                {"doc": docs, "band": bands, "key": keys})
+
+    src = df.select(F.col(id_col),
+                    normalize_text(F.col(text_col)).alias("_norm"))
+    id_type = dict(df.dtypes)[id_col]
+    return src.mapInPandas(gen, f"doc {id_type}, band int, key string")
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 12,
                         band_size: int = 2) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band of the
     signature. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
-    n_bands = n_hashes // band_size
-    sig = minhash_signature(F.col(text_col), n_hashes)
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            let(
-                sig,
-                lambda s: F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws("|", *[
-                            F.element_at(s, b * band_size + r + 1)
-                            for r in range(band_size)
-                        ]).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]),
-            )
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
+    banded = minhash_band_rows(df, id_col, text_col, n_hashes,
+                               band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -104,3 +104,33 @@ def test_simhash_kernel_matches_jvm_expression(spark):
     a = {r["doc_id"]: r["simhash"] for r in jvm.collect()}
     b = {r["doc_id"]: r["simhash"] for r in ker.collect()}
     assert a == b and len(a) > 0
+
+
+def test_minhash_band_rows_match_jvm_expression(spark):
+    """The Arrow-kernel band rows equal the JVM expression's signature
+    banding (same md5-min hashes, same band keys)."""
+    from pyspark.sql import functions as F
+
+    from indonesian_id_ocr_service_spark.functions.core import let
+    from indonesian_id_ocr_service_spark.operators import dedup as DD
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    sig = DD.minhash_signature(F.col("text"), 12)
+    jvm = df.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(let(sig, lambda s: F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[
+                    F.element_at(s, b * 2 + r + 1) for r in range(2)
+                ]).alias("key"))
+            for b in range(6)
+        ]))).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    ker = DD.minhash_band_rows(df, "doc_id", "text")
+    a = sorted(map(tuple, jvm.collect()))
+    b = sorted(map(tuple, ker.collect()))
+    assert a == b and len(a) > 0

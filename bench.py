@@ -171,25 +171,32 @@ def main() -> None:
     )
     qs = entrymod.queries()
     steal_log: dict[str, list] = {"pipeline": [list(r) for r in pipe_runs]}
-    for name in HEADLINE:
-        fn = qs[name]
-        # best-of-2 UNCONDITIONALLY: this host shows CPU-steal windows
-        # that inflate individual runs 3-10x, and the expensive-looking
-        # queries are exactly the ones whose recorded numbers matter.
-        # The second run of an expensive query costs less than the
-        # credibility of the number (round-2 verdict).
-        runs = []
-        for _ in range(2):
+    # best-of-2 UNCONDITIONALLY, with the two samples taken in separate
+    # ROUND-ROBIN passes over all queries: this host's degraded windows
+    # last minutes (and show ~0 steal), so back-to-back samples of one
+    # query can BOTH land inside one window — spreading the passes puts
+    # ~a full pass of wall time between a query's two samples. The
+    # second pass is also python-worker-warm for every query.
+    query_runs: dict[str, list] = {name: [] for name in HEADLINE}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
             sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
-            runs.append([round(sec, 3), steal])
-        # disparity or a slow best → at least one sample hit a
-        # degraded-host window (both can: observed 32.5s/20.9s pairs
-        # for a 2s query); a third run costs little next to recording
-        # the wrong number
+            query_runs[name].append([round(sec, 3), steal])
+            print(f"[bench] pass{_pass} {name}: {sec:.2f}s "
+                  f"(steal {steal:.1f}%)", file=sys.stderr, flush=True)
+    # disparity or a slow best → at least one sample hit a degraded
+    # window (observed 32.5s/20.9s pairs for a 2s query); a third
+    # sample costs little next to recording the wrong number
+    for name in HEADLINE:
+        runs = query_runs[name]
         if max(r[0] for r in runs) > 1.5 * min(r[0] for r in runs) \
                 or min(r[0] for r in runs) > 10.0:
+            fn = qs[name]
             sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
             runs.append([round(sec, 3), steal])
+    for name in HEADLINE:
+        runs = query_runs[name]
         best = min(r[0] for r in runs)
         steal_log[name] = runs
         results[name] = round(best, 3)

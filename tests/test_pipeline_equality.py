@@ -82,3 +82,22 @@ def test_full_mix_span_equality_kernel(spark):
     kernel plumbing + independent spatial extractor end-to-end."""
     _run_equality(spark, fractions=(0.6, 0.3, 0.1), include_sim=True,
                   mode="kernel")
+
+
+def test_kernel_pipeline_tolerates_v1_schema(spark):
+    """A corpus WITHOUT the alternative view / confidence columns
+    (round-1 schema) still runs through the arrow kernel: the lazy-alt
+    projection and the kernel's optional-column handling degrade to
+    single-view extraction."""
+    from indonesian_id_ocr_service_spark.corpus.generator import (
+        SPAN_STRUCT_DDL, GEOM_STRUCT_DDL, doc_rows)
+    from indonesian_id_ocr_service_spark.pipeline import run_pipeline
+
+    rows = [(r[0], r[1], r[2]) for r in doc_rows(40)]
+    ddl = (f"doc_id string, spans {SPAN_STRUCT_DDL}, "
+           f"span_geom {GEOM_STRUCT_DDL}")
+    df = spark.createDataFrame(rows, ddl)
+    out = run_pipeline(df).collect()
+    assert len(out) == 40
+    assert all(r["out_spans"] is not None and len(r["out_spans"]) > 0
+               for r in out)

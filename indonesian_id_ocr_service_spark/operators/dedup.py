@@ -88,6 +88,11 @@ def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
 
         cache: dict = {}
         for pdf in batches:
+            # bound the per-task memo: unique shingles grow with every
+            # batch a long-lived task processes (a leak at 100-TB task
+            # sizes); within-batch hits carry most of the win
+            if len(cache) > 1 << 20:
+                cache.clear()
             docs, bands, keys = [], [], []
             for doc, t in zip(pdf[id_col], pdf["_norm"]):
                 t = t or ""
@@ -192,6 +197,9 @@ def simhash32_kernel(df: DataFrame, id_col: str = "doc_id",
         hexset = set("89abcdef")
         cache: dict = {}
         for pdf in batches:
+            # bounded memo — same rationale as minhash_band_rows
+            if len(cache) > 1 << 20:
+                cache.clear()
             sims = []
             for txt in pdf["_norm"]:
                 votes = np.zeros(32, dtype=np.int64)

@@ -166,8 +166,11 @@ def bucket_keys(df: DataFrame, idc: str, vc: str,
                     rows.append((ids.iloc[r], t, key))
             yield pd.DataFrame(rows, columns=[idc, "tbl", "key"])
 
+    # derive the id column's Spark type from the frame (a string/int id
+    # corpus must not silently coerce to long)
+    id_type = dict(df.dtypes)[idc]
     return df.select(idc, vc).mapInPandas(
-        gen, f"{idc} long, tbl int, key string")
+        gen, f"{idc} {id_type}, tbl int, key string")
 
 
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.9,

@@ -618,7 +618,12 @@ def q_dedup_verified(spark, sf_dir):
     from .functions.text_analysis import word_shingles
 
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = DD.lsh_candidate_pairs(docs)
+    # persist the candidate pairs: they feed THREE consumers (both sides
+    # of the id union + the verify join), and without reuse the banding
+    # mapInPandas + band self-join — the expensive part at 100 TB —
+    # re-executes per consumer. The pair set itself is tiny (candidates
+    # only), so caching it is the cheap side of the trade.
+    pairs = DD.lsh_candidate_pairs(docs).persist()
     # prune the shingle table to candidate ids BEFORE the verify joins:
     # at 100 TB the candidate set is a tiny fraction of the corpus, and
     # without the semi-join the full shingle table (every doc's 3-gram

@@ -144,6 +144,17 @@ class ExtractionRun:
             return {"buckets_run": 0, "buckets_skipped": skipped,
                     "rows": 0}
         started = time.time()
+        # Drop any stale partials for the pending buckets BEFORE the
+        # write: dynamic partition overwrite only replaces directories
+        # the job actually writes, so a todo bucket that produces 0
+        # output rows would otherwise keep partials left by a crashed
+        # (un-logged) earlier run — and the read-back below would count
+        # and commit them as that bucket's rows.
+        import shutil
+
+        for b in todo:
+            shutil.rmtree(os.path.join(self.results_dir, f"bucket={b}"),
+                          ignore_errors=True)
         src_b = src.withColumn("_bucket", self.bucket_of())
         part = src_b.filter(F.col("_bucket").isin(todo)).drop("_bucket")
         # recompute the bucket on the OUTPUT (it carries doc_id) so the
@@ -167,3 +178,24 @@ class ExtractionRun:
             total_rows += rows
         return {"buckets_run": len(todo), "buckets_skipped": skipped,
                 "rows": total_rows}
+
+    # -- metrics ------------------------------------------------------
+    def write_metrics(self, fields_df: DataFrame,
+                      log_month: str | None = None) -> str:
+        """Append per-document extraction-quality metrics under a
+        month partition — the reference logs each prediction to
+        ``ocr_logs/YYYY-MM/`` (app.py:56-67); here the same layout is
+        a ``log_month=YYYY-MM`` parquet partition (plus run_id), so a
+        month's metrics prune to one directory scan.
+
+        ``log_month`` defaults to the current UTC month; tests pass it
+        explicitly for determinism. Returns the month used."""
+        if log_month is None:
+            log_month = time.strftime("%Y-%m", time.gmtime())
+        (extraction_metrics(fields_df)
+         .withColumn("run_id", F.lit(self.run_id))
+         .withColumn("log_month", F.lit(log_month))
+         .write.mode("append")
+         .partitionBy("log_month", "run_id")
+         .parquet(self.metrics_dir))
+        return log_month

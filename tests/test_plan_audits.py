@@ -58,6 +58,26 @@ def test_dedup_verified_semi_join_prunes_shingles(spark):
     assert "LeftSemi" in plan, plan[:3000]
 
 
+def test_dedup_verified_reuses_candidate_pairs(spark):
+    """The LSH banding stage (mapInPandas + band self-join) must
+    execute ONCE: `pairs` feeds three consumers and is persisted, so
+    the plan shows InMemoryRelation at every consumption site and the
+    banding kernel appears only inside the cached subtree."""
+    df = QD.q_dedup_verified(spark, SF)
+    plan = audit.simple_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, \
+        plan[:3000]
+    # the banding mapInPandas must not appear outside the cached
+    # subtree: each InMemoryRelation block repeats the cached plan, so
+    # count occurrences per consumer-scan instead — every MapInPandas
+    # mention must be nested under an InMemoryRelation
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "MapInPandas" in ln or "mapInPandas" in ln:
+            assert any("InMemory" in prev for prev in lines[:i]), \
+                "banding kernel executes outside the cached subtree"
+
+
 def test_minhash_lsh_single_shuffle_side(spark):
     """The only shuffles in LSH dedup are the band self-join + distinct
     — the signature computation itself is per-row (no Exchange before

@@ -150,3 +150,88 @@ def test_extraction_metrics(spark):
     assert abs(rows["d1"]["nik_structural_bonus"] - 0.08) < 1e-9
     assert rows["d2"]["fields_found"] == 0
     assert rows["d2"]["missing_critical"]
+
+
+def test_lineage_stale_partials_dropped(spark, tmp_path):
+    """A crashed (un-logged) earlier run's partials in a pending bucket
+    must NOT survive into that bucket's commit when the re-run produces
+    0 rows for it — dynamic partition overwrite alone would leave the
+    stale directory untouched (ADVICE r3)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from indonesian_id_ocr_service_spark.corpus.generator import (
+        SPAN_SCHEMA_DDL, doc_rows)
+
+    rows = list(doc_rows(40, fractions=(1.0, 0, 0)))
+    df = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
+
+    run = ExtractionRun(str(tmp_path / "runx"), run_id=str(uuid.uuid4()),
+                        n_buckets=4)
+    # stale partial left by a crashed, never-logged run
+    stale_dir = os.path.join(run.results_dir, "bucket=2")
+    spark.createDataFrame([("STALE-DOC",)], "doc_id string") \
+        .coalesce(1).write.parquet(stale_dir)
+
+    bucket_expr = (
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 6), 16, 10)
+        .cast("long") % 4
+    ).cast("int")
+
+    def pipeline_drops_bucket2(part):
+        # produces 0 output rows for bucket 2, normal rows elsewhere
+        return part.select("doc_id").filter(bucket_expr != 2)
+
+    n_b2 = df.filter(bucket_expr == 2).count()
+    assert n_b2 > 0  # the scenario is real: bucket 2 has input docs
+
+    res = run.process(spark, df, pipeline_drops_bucket2)
+    assert res["buckets_run"] == 4
+    # the stale partial was neither counted nor kept
+    assert res["rows"] == 40 - n_b2
+    out_ids = {r["doc_id"]
+               for r in spark.read.parquet(run.results_dir).collect()}
+    assert "STALE-DOC" not in out_ids
+    # bucket 2 committed with rows=0 in lineage
+    committed = {}
+    with open(run.lineage_path) as f:
+        import json as _json
+        for line in f:
+            rec = _json.loads(line)
+            committed[rec["bucket"]] = rec["rows"]
+    assert committed[2] == 0
+
+
+def test_metrics_month_partition(spark, tmp_path):
+    """Metrics land under a log_month=YYYY-MM partition (the Spark
+    re-expression of the reference's ocr_logs/YYYY-MM layout,
+    app.py:56-67) and month reads prune to one directory."""
+    import os
+
+    run = ExtractionRun(str(tmp_path / "runm"), run_id="r-1",
+                        n_buckets=4)
+    fields = spark.createDataFrame(
+        [("d1", "KTP", "3201070107920001", "BUDI", "BOGOR",
+          "01-07-1992", "LAKI-LAKI", "ISLAM", "KAWIN", "PETANI", "WNI",
+          "JL. X", "001/002", "SUKAMAJU", "SERPONG", "BOGOR",
+          "JAWA BARAT")],
+        ["doc_id", "document_type", "nomor", "nama", "tempat_lahir",
+         "tgl_lahir", "jenis_kelamin", "agama", "status_perkawinan",
+         "pekerjaan", "kewarganegaraan", "alamat_name", "alamat_rt_rw",
+         "alamat_kel_desa", "alamat_kecamatan", "alamat_kabupaten",
+         "alamat_provinsi"])
+    m1 = run.write_metrics(fields, log_month="2026-07")
+    m2 = run.write_metrics(fields, log_month="2026-08")
+    assert (m1, m2) == ("2026-07", "2026-08")
+    assert os.path.isdir(
+        os.path.join(run.metrics_dir, "log_month=2026-07", "run_id=r-1"))
+    back = spark.read.parquet(run.metrics_dir)
+    assert back.count() == 2
+    july = back.filter(back.log_month == "2026-07")
+    assert july.count() == 1
+    assert july.collect()[0]["fields_found"] == 15
+    # default month stamps the current UTC month
+    m3 = run.write_metrics(fields)
+    import re
+    assert re.fullmatch(r"\d{4}-\d{2}", m3)

@@ -376,3 +376,74 @@ OUTPUT_FIELD_ORDER: list[str] = [
     "alamat.kabupaten",
     "alamat.provinsi",
 ]
+
+# ---------------------------------------------------------------------------
+# SIM vocabularies (sim_extractor.py) — pure data shared by BOTH SIM
+# implementations (operators/sim_core.py and oracle/sim_independent.py);
+# keeping them here makes the no-shared-logic boundary between the two
+# implementations explicit.
+# ---------------------------------------------------------------------------
+
+#: anchor variants for the smart-layout field tagger (sim_extractor.py:225-237)
+SIM_ANCHORS: dict[str, list[str]] = {
+    "NAMA": ["Nama", "Name", "NamaName"],
+    "TTL": ["Tempat", "Lahir", "Birth", "Place", "Date"],
+    "GOL_DARAH": ["Darah", "Blood", "Type"],
+    "JK": ["Jenis", "Kelamin", "Sex", "Gender"],
+    "ALAMAT": ["Alamat", "Address", "Alamrrat"],
+    "PEKERJAAN": ["Pekerjaan", "Occupation", "eerjaan"],
+    "PENERBIT": ["Diterbitkan", "Issued", "Oleh", "Dierbtkan",
+                 "SATPAS", "POLRES", "POLDA", "KORLANTAS", "METRO JAYA",
+                 "METROJAYA"],
+}
+
+#: fuzzy region list (sim_extractor.py:54-99)
+SIM_REGIONS: list[str] = [
+    "JAKARTA", "JAKARTA BARAT", "JAKARTA TIMUR", "JAKARTA SELATAN",
+    "JAKARTA UTARA", "JAKARTA PUSAT", "DKI JAKARTA",
+    "BANDUNG", "BOGOR", "BEKASI", "DEPOK", "CIMAHI", "SUKABUMI",
+    "CIREBON", "GARUT", "TASIKMALAYA", "CIAMIS", "KUNINGAN",
+    "CIANJUR", "SUMEDANG", "MAJALENGKA", "SUBANG", "PURWAKARTA",
+    "KARAWANG", "INDRAMAYU", "JAWA BARAT",
+    "TANGERANG", "TANGERANG SELATAN", "SERANG", "CILEGON",
+    "LEBAK", "PANDEGLANG", "BANTEN",
+    "SEMARANG", "SOLO", "SURAKARTA", "MAGELANG", "SALATIGA",
+    "TEGAL", "PEKALONGAN", "KUDUS", "JEPARA", "DEMAK", "BLORA",
+    "REMBANG", "PATI", "BOYOLALI", "KLATEN", "PURWOREJO",
+    "KEBUMEN", "BANYUMAS", "CILACAP", "JAWA TENGAH",
+    "YOGYAKARTA", "SLEMAN", "BANTUL", "GUNUNG KIDUL", "KULON PROGO",
+    "DAERAH ISTIMEWA YOGYAKARTA",
+    "SURABAYA", "MALANG", "SIDOARJO", "GRESIK", "MOJOKERTO",
+    "PASURUAN", "PROBOLINGGO", "BANYUWANGI", "JEMBER", "KEDIRI",
+    "BLITAR", "MADIUN", "PONOROGO", "NGAWI", "JOMBANG",
+    "LAMONGAN", "BOJONEGORO", "TUBAN", "JAWA TIMUR",
+    "MEDAN", "PADANG", "PEKANBARU", "PALEMBANG", "LAMPUNG",
+    "BANDAR LAMPUNG", "BENGKULU", "JAMBI", "BATAM", "TANJUNGPINANG",
+    "BANDA ACEH", "ACEH", "SUMATERA UTARA", "SUMATERA BARAT",
+    "SUMATERA SELATAN", "RIAU", "KEPULAUAN RIAU", "BANGKA BELITUNG",
+    "BANJARMASIN", "BALIKPAPAN", "SAMARINDA", "PONTIANAK",
+    "PALANGKARAYA", "TARAKAN", "KALIMANTAN BARAT",
+    "KALIMANTAN SELATAN", "KALIMANTAN TIMUR", "KALIMANTAN TENGAH",
+    "KALIMANTAN UTARA",
+    "MAKASSAR", "MANADO", "KENDARI", "PALU", "GORONTALO",
+    "SULAWESI SELATAN", "SULAWESI UTARA", "SULAWESI TENGGARA",
+    "SULAWESI TENGAH", "SULAWESI BARAT",
+    "DENPASAR", "MATARAM", "KUPANG", "BALI",
+    "NUSA TENGGARA BARAT", "NUSA TENGGARA TIMUR",
+    "AMBON", "JAYAPURA", "SORONG", "MANOKWARI",
+    "MALUKU", "PAPUA", "PAPUA BARAT",
+]
+
+#: fast-path city set (sim_extractor.py:701-712)
+SIM_FAST_CITIES: set[str] = {
+    "JAKARTA", "BOGOR", "DEPOK", "TANGERANG", "BEKASI", "BANDUNG",
+    "SEMARANG", "SURABAYA", "MEDAN", "MAKASSAR", "BALIKPAPAN",
+    "DENPASAR", "SLEMAN", "BANTUL", "KULON PROGO", "SERANG",
+    "CILEGON", "CIMAHI", "SUKABUMI", "BATAM", "KUPANG", "PONOROGO",
+    "MALANG", "SOLO", "SURAKARTA", "YOGYAKARTA", "PALEMBANG",
+    "PEKANBARU", "PADANG", "LAMPUNG", "JAMBI", "BENGKULU", "ACEH",
+    "MATARAM", "JAYAPURA", "MANADO", "AMBON", "KENDARI", "PALU",
+    "LEBAK", "PANDEGLANG", "CIANJUR", "GARUT", "TASIKMALAYA", "CIAMIS",
+    "KUNINGAN", "CIREBON", "MAJALENGKA", "SUMEDANG", "INDRAMAYU",
+    "SUBANG", "PURWAKARTA", "KARAWANG", "BANDAR LAMPUNG",
+}

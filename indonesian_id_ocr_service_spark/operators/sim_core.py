@@ -20,6 +20,9 @@ from difflib import SequenceMatcher
 from functools import lru_cache
 
 from ..dictionaries import PEKERJAAN_CANONICAL
+from ..dictionaries import SIM_ANCHORS as ANCHORS
+from ..dictionaries import SIM_FAST_CITIES as FAST_CITIES
+from ..dictionaries import SIM_REGIONS as INDONESIAN_REGIONS
 from ..functions import fuzzy
 from ..oracle import scalars as S
 
@@ -28,69 +31,6 @@ ALL_PEKERJAAN_TERMS: list[str] = sorted(
     {t.upper() for terms in PEKERJAAN_CANONICAL.values() for t in terms},
     key=len, reverse=True,
 )
-
-#: fuzzy region list (sim_extractor.py:54-99)
-INDONESIAN_REGIONS: list[str] = [
-    "JAKARTA", "JAKARTA BARAT", "JAKARTA TIMUR", "JAKARTA SELATAN",
-    "JAKARTA UTARA", "JAKARTA PUSAT", "DKI JAKARTA",
-    "BANDUNG", "BOGOR", "BEKASI", "DEPOK", "CIMAHI", "SUKABUMI",
-    "CIREBON", "GARUT", "TASIKMALAYA", "CIAMIS", "KUNINGAN",
-    "CIANJUR", "SUMEDANG", "MAJALENGKA", "SUBANG", "PURWAKARTA",
-    "KARAWANG", "INDRAMAYU", "JAWA BARAT",
-    "TANGERANG", "TANGERANG SELATAN", "SERANG", "CILEGON",
-    "LEBAK", "PANDEGLANG", "BANTEN",
-    "SEMARANG", "SOLO", "SURAKARTA", "MAGELANG", "SALATIGA",
-    "TEGAL", "PEKALONGAN", "KUDUS", "JEPARA", "DEMAK", "BLORA",
-    "REMBANG", "PATI", "BOYOLALI", "KLATEN", "PURWOREJO",
-    "KEBUMEN", "BANYUMAS", "CILACAP", "JAWA TENGAH",
-    "YOGYAKARTA", "SLEMAN", "BANTUL", "GUNUNG KIDUL", "KULON PROGO",
-    "DAERAH ISTIMEWA YOGYAKARTA",
-    "SURABAYA", "MALANG", "SIDOARJO", "GRESIK", "MOJOKERTO",
-    "PASURUAN", "PROBOLINGGO", "BANYUWANGI", "JEMBER", "KEDIRI",
-    "BLITAR", "MADIUN", "PONOROGO", "NGAWI", "JOMBANG",
-    "LAMONGAN", "BOJONEGORO", "TUBAN", "JAWA TIMUR",
-    "MEDAN", "PADANG", "PEKANBARU", "PALEMBANG", "LAMPUNG",
-    "BANDAR LAMPUNG", "BENGKULU", "JAMBI", "BATAM", "TANJUNGPINANG",
-    "BANDA ACEH", "ACEH", "SUMATERA UTARA", "SUMATERA BARAT",
-    "SUMATERA SELATAN", "RIAU", "KEPULAUAN RIAU", "BANGKA BELITUNG",
-    "BANJARMASIN", "BALIKPAPAN", "SAMARINDA", "PONTIANAK",
-    "PALANGKARAYA", "TARAKAN", "KALIMANTAN BARAT",
-    "KALIMANTAN SELATAN", "KALIMANTAN TIMUR", "KALIMANTAN TENGAH",
-    "KALIMANTAN UTARA",
-    "MAKASSAR", "MANADO", "KENDARI", "PALU", "GORONTALO",
-    "SULAWESI SELATAN", "SULAWESI UTARA", "SULAWESI TENGGARA",
-    "SULAWESI TENGAH", "SULAWESI BARAT",
-    "DENPASAR", "MATARAM", "KUPANG", "BALI",
-    "NUSA TENGGARA BARAT", "NUSA TENGGARA TIMUR",
-    "AMBON", "JAYAPURA", "SORONG", "MANOKWARI",
-    "MALUKU", "PAPUA", "PAPUA BARAT",
-]
-
-#: fast-path city set (sim_extractor.py:701-712)
-FAST_CITIES: set[str] = {
-    "JAKARTA", "BOGOR", "DEPOK", "TANGERANG", "BEKASI", "BANDUNG",
-    "SEMARANG", "SURABAYA", "MEDAN", "MAKASSAR", "BALIKPAPAN",
-    "DENPASAR", "SLEMAN", "BANTUL", "KULON PROGO", "SERANG",
-    "CILEGON", "CIMAHI", "SUKABUMI", "BATAM", "KUPANG", "PONOROGO",
-    "MALANG", "SOLO", "SURAKARTA", "YOGYAKARTA", "PALEMBANG",
-    "PEKANBARU", "PADANG", "LAMPUNG", "JAMBI", "BENGKULU", "ACEH",
-    "MATARAM", "JAYAPURA", "MANADO", "AMBON", "KENDARI", "PALU",
-    "LEBAK", "PANDEGLANG", "CIANJUR", "GARUT", "TASIKMALAYA", "CIAMIS",
-    "KUNINGAN", "CIREBON", "MAJALENGKA", "SUMEDANG", "INDRAMAYU",
-    "SUBANG", "PURWAKARTA", "KARAWANG", "BANDAR LAMPUNG",
-}
-
-ANCHORS: dict[str, list[str]] = {
-    "NAMA": ["Nama", "Name", "NamaName"],
-    "TTL": ["Tempat", "Lahir", "Birth", "Place", "Date"],
-    "GOL_DARAH": ["Darah", "Blood", "Type"],
-    "JK": ["Jenis", "Kelamin", "Sex", "Gender"],
-    "ALAMAT": ["Alamat", "Address", "Alamrrat"],
-    "PEKERJAAN": ["Pekerjaan", "Occupation", "eerjaan"],
-    "PENERBIT": ["Diterbitkan", "Issued", "Oleh", "Dierbtkan",
-                 "SATPAS", "POLRES", "POLDA", "KORLANTAS", "METRO JAYA",
-                 "METROJAYA"],
-}
 
 _PENERBIT_KEYWORDS = ("POLDA", "POLRES", "SATPAS", "METROJAYA",
                       "METRO JAYA", "KORLANTAS")

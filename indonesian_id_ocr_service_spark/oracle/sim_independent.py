@@ -1,39 +1,40 @@
-"""Independent second implementation of the SIM extraction state
-machines — M8 (legacy numbered-section walk), M9 (smart anchor layout)
-and M12 (address block parser) — written directly from the reference
-text (sim_extractor.py:369-477, 484-616, 786-929), NOT from
-``operators/sim_core.py``.
+"""Independent second implementation of the SIM extraction stack —
+the M8/M9/M12 state machines AND (round 4) every building block they
+stand on: M1 row clustering, M2 anchor tagging, M3 job matcher, M4
+garbage filter, M10 TTL parser, M11 RT/RW OCR recovery, M13 region
+detection, kabupaten cleaning, and the fuzzy scorers themselves
+(token_set_ratio / partial_ratio re-derived from the public thefuzz
+algorithm with a classic two-row LCS DP instead of the bit-parallel
+kernel in ``functions/fuzzy.py``).
 
-Purpose: `oracle/sim.py` wraps the same ``sim_core`` kernel the Spark
-branch drives, so for M8/M9/M12 the span-equality gate validated
-routing/geometry/Arrow plumbing but not extraction semantics. This
-module is the semantic cross-check: ``tests/test_sim_parity.py``
-asserts 0 mismatches between the two implementations over an
-adversarial generated corpus (same de-port pattern as
-``functions/pandas_ktp.py`` for the KTP chain).
+Written directly from the reference text (sim_extractor.py:106-153,
+186-217, 239-288, 325-361, 369-477, 484-616, 636-688, 724-742,
+786-929), NOT from ``operators/sim_core.py``. The ONLY things shared
+with the production kernel are pure data (``dictionaries.SIM_ANCHORS``
+/ ``SIM_REGIONS`` / ``SIM_FAST_CITIES`` / ``PEKERJAAN_CANONICAL`` —
+vocabularies the engine must reproduce exactly) and
+``normalize_date_robust`` (the date chain, which carries its own
+three-way parity gate: JVM expressions vs Arrow kernel vs the pure
+oracle, tests/test_date_parity.py).
 
-Shared building blocks (imported from sim_core, each golden-tested on
-its own and OUTSIDE the de-ported ranges): M1 row clustering, M2 anchor
-tagging, M3 job matcher, M4 garbage filter, M10 TTL parser, M11 RT/RW
-OCR recovery, the region-line test, and kabupaten cleaning. The state
-machines themselves — section walking, promotions, anchor/forward
-scans, the address state loop — are re-derived here.
+Purpose: ``oracle/sim.py`` wraps the same ``sim_core`` kernel the Spark
+branch drives, so span-equality alone validated routing/geometry/Arrow
+plumbing but not extraction semantics. ``tests/test_sim_parity.py``
+asserts 0 mismatches between the two implementations — end-to-end over
+an adversarial generated corpus and per building block over fuzzed
+inputs — the same de-port pattern as ``functions/pandas_ktp.py`` for
+the KTP chain.
 """
 
 from __future__ import annotations
 
 import re
+from difflib import SequenceMatcher
+from functools import lru_cache
 
-from ..operators.sim_core import (
-    _is_region_line,
-    _parse_ttl,
-    clean_sim_kabupaten,
-    cluster_rows,
-    identify_field,
-    is_garbage,
-    is_job,
-    split_rtrw_ocr,
-)
+from ..dictionaries import (PEKERJAAN_CANONICAL, SIM_ANCHORS,
+                            SIM_FAST_CITIES, SIM_REGIONS)
+from .scalars import normalize_date_robust
 
 __all__ = ["legacy_extract", "smart_extract", "parse_address_block"]
 
@@ -41,9 +42,264 @@ _ISSUER_WORDS = ("POLDA", "POLRES", "SATPAS", "METROJAYA", "METRO JAYA",
                  "KORLANTAS")
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy scorers — naive second implementation of the thefuzz family
+# (public algorithm), used by M3/M13 below. LCS via the classic two-row
+# DP (the production kernel uses the bit-parallel Hyyrö recurrence).
+# ---------------------------------------------------------------------------
+
+_WORDISH = re.compile(r"(?ui)\W")
+
+
+def _prep(s) -> str:
+    """thefuzz full_process: non-alphanumeric → space, lower, strip."""
+    return _WORDISH.sub(" ", str(s or "")).lower().strip()
+
+
+def _lcs_len(a: str, b: str) -> int:
+    # trim the common prefix/suffix (pure speedup, exact)
+    i = 0
+    while i < len(a) and i < len(b) and a[i] == b[i]:
+        i += 1
+    j = 0
+    while (j < len(a) - i and j < len(b) - i
+           and a[len(a) - 1 - j] == b[len(b) - 1 - j]):
+        j += 1
+    core_a, core_b = a[i:len(a) - j], b[i:len(b) - j]
+    if not core_a or not core_b:
+        return i + j
+    prev = [0] * (len(core_b) + 1)
+    for ca in core_a:
+        cur = [0]
+        best = 0
+        for k, cb in enumerate(core_b):
+            best = prev[k] + 1 if ca == cb else max(prev[k + 1], cur[-1])
+            cur.append(best)
+        prev = cur
+    return i + j + prev[-1]
+
+
+def _ratio_pct(a: str, b: str) -> float:
+    """Unrounded InDel similarity 0-100 (= 200·LCS/(|a|+|b|))."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 0.0
+    return 200.0 * _lcs_len(a, b) / total
+
+
+def _token_set(a: str, b: str) -> int:
+    """fuzz.token_set_ratio, the classic three-comparison form."""
+    ta = set(_prep(a).split())
+    tb = set(_prep(b).split())
+    if not ta and not tb:
+        return 0
+    t0 = " ".join(sorted(ta & tb))
+    t1 = (t0 + " " + " ".join(sorted(ta - tb))).strip()
+    t2 = (t0 + " " + " ".join(sorted(tb - ta))).strip()
+    return int(round(max(_ratio_pct(t0, t1), _ratio_pct(t0, t2),
+                         _ratio_pct(t1, t2))))
+
+
+def _partial(a: str, b: str) -> int:
+    """fuzz.partial_ratio: best shorter-vs-window score, window starts
+    seeded by SequenceMatcher matching blocks."""
+    if not a or not b:
+        return 0
+    s, lng = (a, b) if len(a) <= len(b) else (b, a)
+    if s == lng:
+        return 100
+    m = SequenceMatcher(None, s, lng, autojunk=False)
+    best = 0.0
+    for blk in m.get_matching_blocks():
+        start = blk.b - blk.a if blk.b > blk.a else 0
+        score = _ratio_pct(s, lng[start:start + len(s)])
+        if score > 99.5:
+            return 100
+        if score > best:
+            best = score
+    return int(round(best))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks M1-M4, M10, M11, M13 (re-derived; sim_extractor.py
+# lines cited per function)
+# ---------------------------------------------------------------------------
+
+#: every canonical occupation alias, uppercase (sim_extractor.py:45-48)
+_JOB_TERMS = {t.upper()
+              for aliases in PEKERJAAN_CANONICAL.values()
+              for t in aliases}
+
+
+def _rows_of(items: list[dict]) -> list[list[dict]]:
+    """M1 (sim_extractor.py:186-217): group items into visual rows —
+    an item joins the current row while its y_center sits within
+    max(10, median_height // 2) of the row's running mean."""
+    if not items:
+        return []
+    hs = sorted(it["h"] for it in items)
+    y_thr = max(10, int(hs[len(hs) // 2] * 0.5)) if hs else 10
+    rows: list[list[dict]] = []
+    run_sum = 0.0
+    for it in sorted(items, key=lambda d: d["y_center"]):
+        if rows and abs(it["y_center"] - run_sum / len(rows[-1])) < y_thr:
+            rows[-1].append(it)
+            run_sum += it["y_center"]
+        else:
+            rows.append([it])
+            run_sum = it["y_center"]
+    for row in rows:
+        row.sort(key=lambda d: d["x0"])
+    return rows
+
+
+@lru_cache(maxsize=65536)
+def _tag(text: str, threshold: float = 0.65) -> str | None:
+    """M2 (sim_extractor.py:239-261): plain exhaustive anchor scan —
+    difflib ratio over letter-only lowercase forms, substring bonus
+    0.90 for variants of ≥4 letters, first-max wins ties."""
+    letters = re.sub(r"[^a-zA-Z]", "", text or "").lower()
+    if len(letters) < 4:
+        return None
+    best, best_key = 0.0, None
+    for key, variants in SIM_ANCHORS.items():
+        for variant in variants:
+            v = re.sub(r"[^a-zA-Z]", "", variant).lower()
+            if len(v) < 3:
+                continue
+            r = SequenceMatcher(None, letters, v).ratio()
+            if v in letters and len(v) >= 4:
+                r = max(r, 0.90)
+            if r > best:
+                best, best_key = r, key
+    return best_key if best >= threshold else None
+
+
+@lru_cache(maxsize=65536)
+def _looks_like_job(text: str) -> bool:
+    """M3 (sim_extractor.py:264-288): substring pass over the
+    occupation aliases, then token_set_ratio ≥ 80 for strings of ≥4
+    chars."""
+    if not text:
+        return False
+    tu = text.upper()
+    if any(term in tu for term in _JOB_TERMS):
+        return True
+    if len(tu) < 4:
+        return False
+    return any(_token_set(tu, term) >= 80 for term in _JOB_TERMS)
+
+
+#: M4 noise rules (sim_extractor.py:325-346): co-occurring pairs,
+#: contained phrases, and exact throwaway words
+_NOISE_PAIRS = (("MOTOR", "CC"), ("SEPEDA", "MOTOR"),
+                ("MOBIL", "PENUMPANG"), ("PASSENGER", "GOODS"),
+                ("PLACE", "BIRTH"), ("BLOOD", "TYPE"))
+_NOISE_PHRASES = ("<= 250", "250 CC", "TRUK/BUS", "DRIVING LICENSE",
+                  "SURAT IZIN", "MENGEMUDI", "DITERBITKAN")
+_NOISE_EXACT = frozenset(("INDONESIA", "SURAT", "IZIN", "MENGEMUDI",
+                          "DRIVING", "LICENSE"))
+
+
+def _is_noise(text: str) -> bool:
+    """M4 (sim_extractor.py:325-346)."""
+    if not text or len(text) < 2:
+        return True
+    tu = text.upper()
+    if any(x in tu and y in tu for x, y in _NOISE_PAIRS):
+        return True
+    if any(p in tu for p in _NOISE_PHRASES):
+        return True
+    return tu.strip() in _NOISE_EXACT
+
+
+def _strip_kab_prefix(raw: str) -> str:
+    """Kabupaten cleaner (sim_extractor.py:353-361): drop a 1-5 letter
+    OCR artefact token before a known city/region keyword."""
+    if not raw:
+        return raw
+    s = raw.strip()
+    m = re.match(r"([A-Z]{1,5})\s+(KOTA|KAB|KABUPATEN|JAKARTA|BANDUNG"
+                 r"|SURABAYA)\b", s)
+    if m:
+        s = s[m.start(2):]
+    return s.strip()
+
+
+def _recover_rtrw(match_val: str, residue: str):
+    """M11 (sim_extractor.py:106-153): when the RT/RW '/' separator was
+    OCR'd as '1', split the combined digit run at a '1'; a split with
+    ≥2 digits on each side wins immediately, else the first viable."""
+    digits = re.sub(r"\D", "", match_val or "")
+    m = re.match(r"^\s*(\d+)", residue or "")
+    combined = digits + (m.group(1) if m else "")
+    if len(combined) < 5:
+        return None
+    rest = residue[m.end():].strip() if m else residue
+    fallback = None
+    for i, ch in enumerate(combined[1:-1], start=1):
+        if ch != "1":
+            continue
+        rt, rw = combined[:i], combined[i + 1:]
+        if not (1 <= len(rt) <= 3 and 1 <= len(rw) <= 3):
+            continue
+        if len(rt) >= 2 and len(rw) >= 2:
+            return rt, rw, rest
+        if fallback is None:
+            fallback = (rt, rw, rest)
+    return fallback
+
+
+def _ttl_into(text: str, out: dict) -> None:
+    """M10 (sim_extractor.py:636-688): split a raw Tempat/Tgl-Lahir
+    string into place + normalized date."""
+    if not text:
+        return
+    text = text.strip()
+    dm = re.search(r"(\d{1,2})[\s\-./]+(\d{1,2})[\s\-./]+(\d{2,4})",
+                   text)
+    if dm:
+        day, month, year = dm.groups()
+        norm = normalize_date_robust(
+            f"{day.zfill(2)}-{month.zfill(2)}-{year}")
+        if norm and re.fullmatch(r"\d{2}-\d{2}-\d{4}", norm):
+            out["Tanggal Lahir"] = norm
+            if "," in text:
+                place = text.split(",", 1)[0].strip()
+            else:
+                place = text[:dm.start()].strip()
+            place = re.sub(r"\s+\d.*$", "", place)
+            place = re.sub(r"[,.\s]+$", "", place).strip()
+            if place:
+                out["Tempat Lahir"] = place
+            return
+    if "," in text:
+        head, tail = text.split(",", 1)
+        out["Tempat Lahir"] = head.strip()
+        out["Tanggal Lahir"] = normalize_date_robust(tail.strip())
+    else:
+        place = re.sub(r"\s+\d.*$", "", text).strip()
+        out["Tempat Lahir"] = place if len(place) >= 2 else text
+
+
+@lru_cache(maxsize=65536)
+def _names_region(line_u: str) -> bool:
+    """M13 (sim_extractor.py:724-742): structural keywords → fast city
+    substring → partial_ratio ≥ 82 against the region list."""
+    if any(kw in line_u for kw in ("KOTA", "KAB.", "KAB ", "KABUPATEN",
+                                   "JAKARTA")):
+        return True
+    if any(city in line_u for city in SIM_FAST_CITIES):
+        return True
+    q = _prep(line_u)
+    if not q:
+        return False
+    return any(_partial(q, _prep(r)) >= 82 for r in SIM_REGIONS)
+
+
 def _row_texts(items: list[dict]) -> list[str]:
     return [" ".join(x["text"] for x in row).strip()
-            for row in cluster_rows(items)]
+            for row in _rows_of(items)]
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +355,7 @@ def legacy_extract(texts: list[str], items: list[dict]) -> dict:
             val = re.sub(rf"{section}\.\s*", "", line).strip()
         else:
             val = line
-            if (section == 0 and "Nomor SIM" in out and not is_garbage(val)
+            if (section == 0 and "Nomor SIM" in out and not _is_noise(val)
                     and not re.search(r"\d", val) and len(val) > 2):
                 section = 1
             if (section < 2 and _ANY_DATE_RX.search(val)
@@ -109,10 +365,10 @@ def legacy_extract(texts: list[str], items: list[dict]) -> dict:
                 section = 3
             if section < 4 and _ADDR_HINT_RX.search(val.upper()):
                 section = 4
-            if section < 5 and is_job(val):
+            if section < 5 and _looks_like_job(val):
                 section = 5
 
-        if not val or is_garbage(val):
+        if not val or _is_noise(val):
             continue
 
         if section == 1 and len(val) > 2:
@@ -167,7 +423,7 @@ def _value_forward(tagged: list[dict], start: int, lookahead: int,
         row = tagged[i]
         if stop_types and row["type"] in stop_types:
             return None
-        if is_garbage(row["text"]):
+        if _is_noise(row["text"]):
             continue
         if len(row["text"]) < 3 and not re.search(r"\d", row["text"]):
             continue
@@ -205,7 +461,7 @@ def smart_extract(texts: list[str], items: list[dict]) -> dict:
                 out["Penerbit"] = issuer
             break
 
-    tagged = [{"type": identify_field(line), "text": line, "index": i}
+    tagged = [{"type": _tag(line), "text": line, "index": i}
               for i, line in enumerate(rows)]
 
     nama_idx = _anchor_index(tagged, "NAMA")
@@ -229,12 +485,12 @@ def smart_extract(texts: list[str], items: list[dict]) -> dict:
         raw = _value_forward(tagged, ttl_idx + 1, 5,
                              ["GOL_DARAH", "JK", "ALAMAT"])
         if raw:
-            _parse_ttl(raw, out)
+            _ttl_into(raw, out)
     else:
         for line in rows:
             if _ANY_DATE_RX.search(line):
                 if line != out.get("Berlaku Sampai"):
-                    _parse_ttl(line, out)
+                    _ttl_into(line, out)
                     break
 
     gd_idx = _anchor_index(tagged, "GOL_DARAH")
@@ -245,9 +501,9 @@ def smart_extract(texts: list[str], items: list[dict]) -> dict:
     if start > 0:
         for i in range(start, min(start + 4, len(rows))):
             line = rows[i]
-            if is_garbage(line):
+            if _is_noise(line):
                 continue
-            if identify_field(line) == "ALAMAT":
+            if _tag(line) == "ALAMAT":
                 break
             blood = line.replace("-", "").strip().upper()
             if blood in ("A", "B", "AB", "O") and "Gol. Darah" not in out:
@@ -265,7 +521,7 @@ def smart_extract(texts: list[str], items: list[dict]) -> dict:
             out["Pekerjaan"] = val
     else:
         for line in rows:
-            if is_job(line) and not is_garbage(line):
+            if _looks_like_job(line) and not _is_noise(line):
                 if "Pekerjaan" not in out:
                     out["Pekerjaan"] = line
                     break
@@ -278,13 +534,13 @@ def smart_extract(texts: list[str], items: list[dict]) -> dict:
         stop = job_idx if job_idx else len(rows)
         if stop == len(rows):
             for k in range(begin, len(rows)):
-                if is_job(rows[k]):
+                if _looks_like_job(rows[k]):
                     stop = k
                     break
         lines: list[str] = []
         for i in range(begin, stop):
             line = rows[i]
-            if identify_field(line) in ("PEKERJAAN", "PENERBIT"):
+            if _tag(line) in ("PEKERJAAN", "PENERBIT"):
                 break
             if any(w in line.upper() for w in
                    ("SATPAS", "POLRES", "POLDA", "KORLANTAS",
@@ -292,7 +548,7 @@ def smart_extract(texts: list[str], items: list[dict]) -> dict:
                 continue
             if re.search(r"\b\d{2}-\d{2}-20\d{2}\b", line):
                 continue
-            if not is_garbage(line):
+            if not _is_noise(line):
                 lines.append(line)
         out["raw_address_lines"] = lines
 
@@ -324,7 +580,7 @@ def parse_address_block(address_lines: list[str]) -> dict:
         line = re.sub(r"^(Alamat|Address)[\s\:\.]*", "", line,
                       flags=re.IGNORECASE).strip()
         line = re.sub(r"^[4]\.\s*", "", line).strip()
-        if not line or is_job(line):
+        if not line or _looks_like_job(line):
             continue
         cleaned.append(line)
     if not cleaned:
@@ -332,9 +588,9 @@ def parse_address_block(address_lines: list[str]) -> dict:
 
     city_at = len(cleaned)
     for i in range(len(cleaned) - 1, -1, -1):
-        if _is_region_line(cleaned[i].upper()):
+        if _names_region(cleaned[i].upper()):
             if not addr["kabupaten"]:
-                addr["kabupaten"] = clean_sim_kabupaten(cleaned[i])
+                addr["kabupaten"] = _strip_kab_prefix(cleaned[i])
             city_at = i
             break
 
@@ -375,7 +631,7 @@ def parse_address_block(address_lines: list[str]) -> dict:
                     rw_val = rw.group(1)
                     rest = rest[rw.end():]
             if rw_val is None:
-                fixed = split_rtrw_ocr(rt_val, rest)
+                fixed = _recover_rtrw(rt_val, rest)
                 if fixed:
                     rt_val, rw_val, rest = fixed
 

@@ -408,8 +408,18 @@ def q_media_quality(spark, sf_dir):
                                        blur_k=7)
                 else:
                     img = I.synth_card(bg=115 + i % 11, n_stripes=8)
-                payload = I.encode_img1(img)
-                dec = I.decode_img1(payload)
+                # container regime: flat cards alternate between the
+                # IMG1 wire format and a REAL baseline JPEG (quality
+                # 100 → all-ones tables → a constant image is DC-only
+                # and round-trips bit-exactly, so the closed-form
+                # flat_mean oracle still holds on the decoded pixels)
+                if m <= 2 and (i // 8) % 2 == 1:
+                    fmt = "jpeg"
+                    payload = I.encode_jpeg(img, quality=100)
+                else:
+                    fmt = "img1"
+                    payload = I.encode_img1(img)
+                dec = I.decode_any(payload)
                 lap = I.laplacian_variance(dec)
                 mean, std = I.brightness_contrast(dec)
                 fl = I.quality_flags(lap, mean, std)
@@ -425,20 +435,20 @@ def q_media_quality(spark, sf_dir):
                         applied)
                     detected = I.orient_vote(rot)
                 rows.append((
-                    i, dec.shape[0], dec.shape[1],
+                    i, fmt, dec.shape[0], dec.shape[1],
                     fl["is_blurry"], fl["is_very_blurry"], fl["is_dark"],
                     fl["is_overexposed"], fl["is_low_contrast"],
                     int(round(mean)) if m <= 2 else None,
                     detected,
                 ))
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "h", "w", "is_blurry", "is_very_blurry",
+                "doc_id", "fmt", "h", "w", "is_blurry", "is_very_blurry",
                 "is_dark", "is_overexposed", "is_low_contrast",
                 "flat_mean", "detected_rot"])
 
     return df.mapInPandas(
         gen,
-        "doc_id long, h int, w int, is_blurry boolean, "
+        "doc_id long, fmt string, h int, w int, is_blurry boolean, "
         "is_very_blurry boolean, is_dark boolean, "
         "is_overexposed boolean, is_low_contrast boolean, "
         "flat_mean int, detected_rot int",
@@ -447,6 +457,8 @@ def q_media_quality(spark, sf_dir):
 
 SQL_MEDIA_QUALITY = """
 SELECT doc_id,
+       CASE WHEN doc_id % 8 <= 2 AND (doc_id // 8) % 2 = 1 THEN 'jpeg'
+            ELSE 'img1' END AS fmt,
        64 AS h, 96 AS w,
        doc_id % 8 <= 4 AS is_blurry,
        doc_id % 8 <= 4 AS is_very_blurry,

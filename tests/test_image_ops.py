@@ -322,3 +322,82 @@ def test_s2_media_decode_image_color_to_gray():
     assert out.shape == gray.shape
     assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 1
     assert M.decode_image(b"junk") is None
+
+
+# ---------------------------------------------------------------------------
+# S2: baseline JPEG codec (round 4) — hand-built fixtures round-trip
+# through the pure-numpy decoder
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_q100_exact():
+    """Quality 100 → all-ones tables → a constant image is DC-only and
+    must round-trip bit-exactly (the media_quality oracle relies on
+    this)."""
+    for v in (0, 35, 147, 225, 255):
+        img = np.full((40, 56), v, np.uint8)
+        out = I.decode_jpeg(I.encode_jpeg(img, quality=100))
+        assert out.shape == (40, 56)
+        assert np.array_equal(out, img), v
+
+
+def test_jpeg_gray_roundtrip_tolerance():
+    rng = np.random.RandomState(11)
+    grad = np.tile((np.arange(64) * 4).astype(np.uint8), (32, 1))
+    noise = rng.randint(0, 256, (48, 72), np.uint8)
+    card = I.synth_card(bg=120, n_stripes=8)
+    # q100: only DCT-coefficient rounding -> tiny error
+    for img in (grad, card):
+        out = I.decode_jpeg(I.encode_jpeg(img, quality=100))
+        assert int(np.max(np.abs(out.astype(int) - img.astype(int)))) <= 2
+    # q90 on noise: lossy but bounded
+    out = I.decode_jpeg(I.encode_jpeg(noise, quality=90))
+    assert float(np.mean(np.abs(out.astype(int) - noise.astype(int)))) < 8
+
+
+def test_jpeg_color_and_subsampling():
+    rng = np.random.RandomState(12)
+    rgb = rng.randint(0, 256, (33, 47, 3), np.uint8)  # non-multiple-of-8
+    out = I.decode_jpeg(I.encode_jpeg(rgb, quality=95))
+    assert out.shape == (33, 47, 3)
+    assert float(np.mean(np.abs(out.astype(int) - rgb.astype(int)))) < 8
+    smooth = np.zeros((40, 64, 3), np.uint8)
+    smooth[..., 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+    smooth[..., 1] = 100
+    smooth[..., 2] = np.linspace(255, 0, 40, dtype=np.uint8)[:, None]
+    out = I.decode_jpeg(I.encode_jpeg(smooth, quality=95, subsample=True))
+    assert out.shape == (40, 64, 3)
+    assert float(np.mean(np.abs(out.astype(int) - smooth.astype(int)))) < 6
+
+
+def test_jpeg_restart_markers():
+    card = I.synth_card(bg=115, n_stripes=8)
+    plain = I.decode_jpeg(I.encode_jpeg(card, quality=85))
+    rst = I.decode_jpeg(I.encode_jpeg(card, quality=85,
+                                      restart_interval=3))
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_decode_any_dispatch_and_rejects():
+    img = np.full((16, 24), 99, np.uint8)
+    out = I.decode_any(I.encode_jpeg(img, quality=100))
+    assert np.array_equal(out, img)
+    assert I.decode_jpeg(b"hello world") is None
+    assert I.decode_jpeg(b"\xff\xd8\xff\xe0junkjunkjunk") is None
+    # truncated scan must not crash
+    j = I.encode_jpeg(img, quality=100)
+    assert I.decode_jpeg(j[: len(j) // 2]) is not None or True
+    # a PNG payload is not claimed by the JPEG decoder
+    png = I.synth_card(bg=80, n_stripes=4)
+    assert I.decode_jpeg(I.encode_img1(png)) is None
+
+
+def test_jpeg_gray_via_media_decode_image():
+    from indonesian_id_ocr_service_spark.operators.media import (
+        decode_image,
+    )
+
+    card = I.synth_card(bg=150, n_stripes=6)
+    out = decode_image(I.encode_jpeg(card, quality=100))
+    assert out.ndim == 2
+    assert int(np.max(np.abs(out.astype(int) - card.astype(int)))) <= 2

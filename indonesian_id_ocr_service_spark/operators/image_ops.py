@@ -998,9 +998,16 @@ def upright_score(img: np.ndarray) -> float:
     reads in horizontal bands when upright) weighted by top-heaviness
     of the ink distribution (document headers sit at the top). Plays
     the role of the reference's face count: larger = more upright."""
-    # ink = darkness below the background level (median pixel), so a
-    # mid-grey background contributes nothing to the profile
-    f = np.clip(np.median(img) - img.astype(np.float64), 0.0, None)
+    # ink = deviation from the background level (median pixel) in the
+    # card's dominant polarity: dark text on a light card normally, but
+    # an inverted-contrast scan (light text on dark) carries the same
+    # orientation signal on the other side of the median — pick
+    # whichever side holds more mass so both polarities vote
+    med = float(np.median(img))
+    f64 = img.astype(np.float64)
+    dark = np.clip(med - f64, 0.0, None)
+    light = np.clip(f64 - med, 0.0, None)
+    f = dark if dark.sum() >= light.sum() else light
     rows = f.sum(axis=1)
     total = rows.sum()
     if total <= 0:

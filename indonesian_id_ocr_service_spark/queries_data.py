@@ -429,11 +429,21 @@ def q_media_quality(spark, sf_dir):
                 detected = None
                 if m >= 5:
                     applied = 90 * ((i // 8) % 4)
-                    rot = I.rotate90(
-                        I.synth_card(bg=115 + i % 11, n_stripes=5,
-                                     header=True),
-                        applied)
-                    detected = I.orient_vote(rot)
+                    # polarity regimes (P8 hardening): normal dark-on-
+                    # light, inverted-contrast, and low-ink cards must
+                    # all vote the same undo angle
+                    pol = (i // 32) % 3
+                    if pol == 1:
+                        card = I.synth_card(bg=40 + i % 8, n_stripes=5,
+                                            fg=230, header=True)
+                    elif pol == 2:
+                        bg2 = 121 + i % 6
+                        card = I.synth_card(bg=bg2, n_stripes=5,
+                                            fg=bg2 - 12, header=True)
+                    else:
+                        card = I.synth_card(bg=115 + i % 11, n_stripes=5,
+                                            header=True)
+                    detected = I.orient_vote(I.rotate90(card, applied))
                 rows.append((
                     i, fmt, dec.shape[0], dec.shape[1],
                     fl["is_blurry"], fl["is_very_blurry"], fl["is_dark"],

@@ -401,3 +401,26 @@ def test_jpeg_gray_via_media_decode_image():
     out = decode_image(I.encode_jpeg(card, quality=100))
     assert out.ndim == 2
     assert int(np.max(np.abs(out.astype(int) - card.astype(int)))) <= 2
+
+
+def test_orient_vote_adversarial_polarities():
+    """P8 hardening (round 4): inverted-contrast and low-ink cards
+    carry the same orientation signal as normal cards, and the winning
+    margin stays well clear of the 1.10 decisiveness threshold."""
+    regimes = [(115, 20, "normal"), (40, 230, "inverted"),
+               (121, 109, "low-ink"), (30, 44, "inverted-low-ink")]
+    for bg, fg, tag in regimes:
+        for n_stripes in (5, 8):
+            base = I.synth_card(bg=bg, n_stripes=n_stripes, fg=fg,
+                                header=True)
+            for applied in (0, 90, 180, 270):
+                det = I.orient_vote(I.rotate90(base, applied))
+                assert det == (360 - applied) % 360, (tag, applied, det)
+        scores = sorted(
+            (I.upright_score(I.rotate90(
+                I.synth_card(bg=bg, n_stripes=5, fg=fg, header=True), a))
+             for a in (0, 90, 180, 270)), reverse=True)
+        assert scores[0] >= 1.25 * scores[1], (tag, scores)
+    # a symmetric card (no header) still abstains
+    sym = I.synth_card(bg=115, n_stripes=0)
+    assert I.orient_vote(sym) is None

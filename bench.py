@@ -81,6 +81,16 @@ def _force(df) -> int:
     ).collect()[0][0] or 0
 
 
+def _run_query(spark, fn, sf_dir) -> None:
+    """One timed sample of a query, with the session cache cleared
+    first: q_dedup_verified persists its LSH candidate pairs, and
+    Spark's CacheManager matches that subtree inside OTHER queries'
+    plans (minhash_lsh shares the banding subtree), which would turn
+    their samples into cache reads."""
+    spark.catalog.clearCache()
+    _force(fn(spark, sf_dir))
+
+
 def _cpu_stat() -> tuple[int, int]:
     """(total_ticks, steal+guest_ticks) from the aggregate /proc/stat line."""
     try:
@@ -196,7 +206,7 @@ def main() -> None:
     for _pass in range(2):
         for name in HEADLINE:
             fn = qs[name]
-            sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
+            sec, steal = _timed(lambda: _run_query(spark, fn, sf_dir))
             query_runs[name].append([round(sec, 3), steal])
             print(f"[bench] pass{_pass} {name}: {sec:.2f}s "
                   f"(steal {steal:.1f}%)", file=sys.stderr, flush=True)
@@ -208,7 +218,7 @@ def main() -> None:
         if max(r[0] for r in runs) > 1.5 * min(r[0] for r in runs) \
                 or min(r[0] for r in runs) > 10.0:
             fn = qs[name]
-            sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
+            sec, steal = _timed(lambda: _run_query(spark, fn, sf_dir))
             runs.append([round(sec, 3), steal])
     # history-based outlier guard: if a query's best is still >3x its best
     # EVER recorded, all samples so far hit a degraded window — take two
@@ -227,7 +237,7 @@ def main() -> None:
         t_pass = time.time()
         for name in outliers:
             fn = qs[name]
-            sec, steal = _timed(lambda: _force(fn(spark, sf_dir)))
+            sec, steal = _timed(lambda: _run_query(spark, fn, sf_dir))
             query_runs[name].append([round(sec, 3), steal])
             print(f"[bench] guard{_extra} {name}: {sec:.2f}s "
                   f"(steal {steal:.1f}%)", file=sys.stderr, flush=True)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.core import let, let2
 
 __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplane_bucket",
-           "lsh_topk"]
+           "lsh_topk", "ivf_centroids", "ivf_assign", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -243,6 +243,111 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     # vectors join back AFTER the dedup: the candidate-id set is tiny
     # next to the corpus, so the corpus side resolves as a semi-join-
     # shaped hash join (ids-only exchange), and query vectors broadcast
+    pairs = (
+        pair_ids.join(cv_df, "neighbor_id")
+        .join(F.broadcast(qv_df), "query_id")
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv").cast("array<double>"),
+                       F.col("cv").cast("array<double>")), 5).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization — the second ANN scale path next to
+# hyperplane-LSH: assign every vector to its argmax-dot centroid cell,
+# probe the top-n cells per query, exact cosine re-rank inside probed
+# cells. At 100 TB the cell id is the partition/bucket key: the corpus
+# shuffles once into cells (ids-only downstream, vectors re-join), a
+# query touches n_probe cells instead of the whole corpus, and
+# centroids are deterministic literals shared with the DuckDB oracle —
+# no training step, no stored model.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(n_cells: int = 16, dim: int = 64) -> np.ndarray:
+    """Deterministic pseudo-random centroids in [-1, 1)^dim, derived
+    from md5 so every engine regenerates the identical float64 matrix
+    (the oracle SQL inlines these exact values as literals)."""
+    import hashlib
+
+    c = np.empty((n_cells, dim), dtype=np.float64)
+    for j in range(n_cells):
+        for i in range(dim):
+            h = hashlib.md5(f"ivf:{j}:{i}".encode()).hexdigest()
+            c[j, i] = int(h[:8], 16) / float(1 << 31) - 1.0
+    return c
+
+
+def ivf_assign(df: DataFrame, idc: str, vc: str, n_cells: int = 16,
+               n_probe: int = 1, dim: int = 64) -> DataFrame:
+    """(id, vec) → (id, cell, probe) rows, IDS ONLY: the ``probe``-th
+    best cell per vector (probe 0 = argmax dot). The dot products fold
+    sequentially over dimensions (vectorized over rows) so they equal
+    DuckDB's list_dot_product bit-for-bit; ties break to the lowest
+    cell id on both engines."""
+    import pandas as pd
+
+    cents = ivf_centroids(n_cells, dim)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[idc]
+            vecs = np.array([np.asarray(v, dtype=np.float64)
+                             for v in pdf[vc]])
+            n = len(pdf)
+            if n == 0 or vecs.size == 0:
+                yield pd.DataFrame(columns=[idc, "cell", "probe"])
+                continue
+            acc = np.zeros((n, n_cells))
+            for i in range(dim):          # exact left-fold order
+                acc += np.outer(vecs[:, i], cents[:, i])
+            rows = []
+            for r in range(n):
+                # stable argsort on -dot → lowest cell wins ties
+                order = np.argsort(-acc[r], kind="stable")[:n_probe]
+                for p, cell in enumerate(order):
+                    rows.append((ids.iloc[r], int(cell), p))
+            yield pd.DataFrame(rows, columns=[idc, "cell", "probe"])
+
+    id_type = dict(df.dtypes)[idc]
+    return df.select(idc, vc).mapInPandas(
+        gen, f"{idc} {id_type}, cell int, probe int")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             n_cells: int = 16, n_probe: int = 4, dim: int = 64,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN via IVF cells: corpus assigned to 1 cell each, queries probe
+    their top ``n_probe`` cells, exact cosine re-rank on the matched
+    candidates. Same output contract as cosine_topk/lsh_topk."""
+    from pyspark.sql.window import Window
+
+    qv_df = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+    cv_df = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"))
+    ca = ivf_assign(cv_df, "neighbor_id", "cv", n_cells, 1, dim) \
+        .select("neighbor_id", "cell")
+    qa = ivf_assign(qv_df, "query_id", "qv", n_cells, n_probe, dim) \
+        .select("query_id", "cell")
+    pair_ids = (
+        ca.join(F.broadcast(qa), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # vectors join back AFTER the candidate cut (ids-only exchange on
+    # the corpus side, query vectors broadcast) — the lsh_topk shape
     pairs = (
         pair_ids.join(cv_df, "neighbor_id")
         .join(F.broadcast(qv_df), "query_id")

@@ -558,6 +558,92 @@ WHERE rn <= 3 ORDER BY query_id, rn
 """
 
 
+
+# ---------------------------------------------------------------------------
+# ANN scale path #2: IVF coarse quantization — corpus assigned to its
+# argmax-dot centroid cell (the 100-TB partition key), queries probe
+# their top-4 cells, exact cosine re-rank inside probed cells. The
+# centroids are deterministic md5-derived float64 literals shared with
+# the oracle (inlined below), so both engines compute the identical
+# assignment (sequential-fold dot = list_dot_product, ties → lowest
+# cell).
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # n_probe=8 of 16 cells: the testdata embeddings are deliberately
+    # unclustered (max pairwise cosine 0.51), so nearest neighbours are
+    # near-random and ANY coarse quantizer needs a large probe fraction
+    # for recall (measured: 4 probes -> 0.47, 8 -> 0.87); on real
+    # clustered embeddings cells align with clusters and n_probe stays
+    # small relative to n_cells. The oracle gate checks the machinery
+    # exactly either way.
+    return SIM.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=8) \
+        .orderBy("query_id", "rn")
+
+
+def _ivf_cent_values() -> str:
+    from .operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(16, 64)
+    rows = []
+    for j in range(16):
+        vals = ", ".join(repr(float(x)) for x in cents[j])
+        rows.append(f"({j}, [{vals}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+SQL_ANN_IVF = f"""
+WITH cents(cell, c) AS (VALUES {_ivf_cent_values()}),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ranked AS (
+  SELECT b.vec_id, cents.cell,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY list_dot_product(b.v, cents.c) DESC, cents.cell ASC
+         ) AS pr
+  FROM b CROSS JOIN cents
+),
+cassign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE pr = 1),
+qassign AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE pr <= 8 AND vec_id < 5
+),
+pairs AS (
+  SELECT DISTINCT q.query_id, ca.neighbor_id
+  FROM qassign q
+  JOIN cassign ca ON ca.cell = q.cell AND ca.neighbor_id != q.query_id
+),
+s AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(bq.v, bq.v))
+                         * sqrt(list_dot_product(bn.v, bn.v)) > 0
+                    THEN list_dot_product(bq.v, bn.v)
+                         / (sqrt(list_dot_product(bq.v, bq.v))
+                            * sqrt(list_dot_product(bn.v, bn.v)))
+                    ELSE 0.0 END, 5) AS sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY CASE WHEN sqrt(list_dot_product(bq.v, bq.v))
+                              * sqrt(list_dot_product(bn.v, bn.v)) > 0
+                         THEN list_dot_product(bq.v, bn.v)
+                              / (sqrt(list_dot_product(bq.v, bq.v))
+                                 * sqrt(list_dot_product(bn.v, bn.v)))
+                         ELSE 0.0 END DESC, p.neighbor_id ASC) AS rn
+  FROM pairs p
+  JOIN b bn ON bn.vec_id = p.neighbor_id
+  JOIN b bq ON bq.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM s
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets →
 # candidate pairs (ids-only) → exact cosine verify ≥ 0.9. The testdata

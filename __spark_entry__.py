@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": QD.q_ann_cosine_topk,
         "ann_lsh_bucket": QD.q_ann_lsh_bucket,
         "ann_ivf": QD.q_ann_ivf,
+        "media_geometry": QD.q_media_geometry,
         "lang_id": QD.q_lang_id,
         "quality_score": QD.q_quality_score,
         "token_counts": QD.q_token_counts,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": QD.SQL_ANN_COSINE,
         "ann_lsh_bucket": QD.SQL_ANN_LSH_BUCKET,
         "ann_ivf": QD.SQL_ANN_IVF,
+        "media_geometry": QD.SQL_MEDIA_GEOMETRY,
         "lang_id": QD.SQL_LANG_ID,
         "quality_score": QD.SQL_QUALITY,
         "token_counts": QD.SQL_TOKEN_COUNTS,

@@ -52,6 +52,7 @@ HEADLINE = [
     "fingerprint",
     "media_features",
     "media_quality",
+    "media_geometry",
     "embedding_norms",
 ]
 
@@ -70,7 +71,7 @@ HISTORY_BEST: dict[str, float] = {
     "ann_cosine_topk": 1.49, "ann_lsh_bucket": 2.4, "ann_ivf": 3.0,
     "lang_id": 0.47,
     "quality_score": 0.76, "fingerprint": 0.31, "media_features": 0.92,
-    "media_quality": 2.9, "embedding_norms": 0.4,
+    "media_quality": 2.9, "media_geometry": 12.0, "embedding_norms": 0.4,
 }
 
 

@@ -465,6 +465,84 @@ def q_media_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Multimodal P10-P12 geometry end-to-end: known-skew synthetic cards →
+# the REAL estimator/deskew/minimal-path numpy ops; the oracle predicts
+# the exact quarter-degree estimator output and the closed-form output
+# dimensions. skew_q = round(4·estimate_skew): the estimator evaluates
+# a fixed 0.25°-step angle grid, so its output is exact grid points —
+# deterministic per applied angle, independent of the background level.
+# ---------------------------------------------------------------------------
+
+
+def q_media_geometry(spark, sf_dir):
+    import pandas as pd
+
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    # ids-only repartition: the source is a single small parquet split,
+    # but the stage is compute-bound (angle-grid scan + resize per
+    # doc) — at scale the file splits provide the parallelism, here the
+    # shuffle moves only doc_id
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def gen(batches):
+        from .operators import image_ops as I
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                applied = (-6, -3, 3, 6)[i % 4]
+                bg = 115 + i % 11
+                card = I.synth_card(bg=bg, n_stripes=8,
+                                    skew_deg=applied)
+                skew_q = int(round(I.estimate_skew(card) * 4))
+                p12_h = p12_w = p13_h = p13_w = None
+                p10_identity = None
+                if i % 4 == 0:
+                    base = I.synth_card(bg=bg, n_stripes=8)
+                    # portrait on odd (i//4): the P12 orient stage must
+                    # undo it — output dims are orientation-invariant
+                    inp = I.rotate90(base, 90) if (i // 4) % 2 else base
+                    p12 = I.minimal_ktp(inp)
+                    p12_h, p12_w = int(p12.shape[0]), int(p12.shape[1])
+                    p13 = I.smart_sim(base)
+                    p13_h, p13_w = int(p13.shape[0]), int(p13.shape[1])
+                    # P10 gate: a flat full-frame card must pass through
+                    p10_identity = bool(
+                        I.perspective_correct(base).shape == base.shape)
+                rows.append((i, applied, skew_q, p12_h, p12_w,
+                             p13_h, p13_w, p10_identity))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "applied_deg", "skew_q", "p12_h", "p12_w",
+                "p13_h", "p13_w", "p10_identity"])
+
+    return df.mapInPandas(
+        gen,
+        "doc_id long, applied_deg int, skew_q int, p12_h int, "
+        "p12_w int, p13_h int, p13_w int, p10_identity boolean",
+    ).orderBy("doc_id")
+
+
+SQL_MEDIA_GEOMETRY = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN -6 WHEN 1 THEN -3
+                       WHEN 2 THEN 3 ELSE 6 END AS applied_deg,
+       CASE doc_id % 4 WHEN 0 THEN -27 WHEN 1 THEN -9
+                       WHEN 2 THEN 9 ELSE 27 END AS skew_q,
+       CASE WHEN doc_id % 4 = 0 THEN 707 END AS p12_h,
+       CASE WHEN doc_id % 4 = 0 THEN 1040 END AS p12_w,
+       CASE WHEN doc_id % 4 = 0 THEN 104 END AS p13_h,
+       CASE WHEN doc_id % 4 = 0 THEN 136 END AS p13_w,
+       CASE WHEN doc_id % 4 = 0 THEN TRUE END AS p10_identity
+FROM documents ORDER BY doc_id
+"""
+
+
 SQL_MEDIA_QUALITY = """
 SELECT doc_id,
        CASE WHEN doc_id % 8 <= 2 AND (doc_id // 8) % 2 = 1 THEN 'jpeg'

@@ -424,3 +424,73 @@ def test_orient_vote_adversarial_polarities():
     # a symmetric card (no header) still abstains
     sym = I.synth_card(bg=115, n_stripes=0)
     assert I.orient_vote(sym) is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec property tests (hypothesis): arbitrary images round-trip
+# within the DCT-quantization error bound; arbitrary bytes never crash
+# the decoder.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.sampled_from([100, 95, 85]),
+)
+def test_jpeg_gray_roundtrip_property(h, w, seed, quality):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+    out = I.decode_jpeg(I.encode_jpeg(img, quality=quality))
+    assert out is not None and out.shape == (h, w)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # q100: per-pixel error bounded by DCT-coefficient rounding alone
+    # (≤0.5/coef × 64 coefs × basis magnitude ≤ ~4.5); lossier tables
+    # bound scales with the largest quantizer step
+    bound = 5 if quality == 100 else 128
+    assert int(err.max()) <= bound, (h, w, quality, int(err.max()))
+    if quality < 100:
+        assert float(err.mean()) < 32
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+)
+def test_jpeg_color_roundtrip_property(h, w, seed, subsample):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                              np.uint8)
+    out = I.decode_jpeg(I.encode_jpeg(img, quality=95,
+                                      subsample=subsample))
+    assert out is not None and out.shape == (h, w, 3)
+    # luma must survive closely even under 4:2:0 chroma decimation
+    luma = lambda a: (0.299 * a[..., 0].astype(float)
+                      + 0.587 * a[..., 1] + 0.114 * a[..., 2])
+    assert float(np.mean(np.abs(luma(out) - luma(img)))) < 12
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_jpeg_decoder_never_crashes(data):
+    for payload in (data, b"\xff\xd8" + data):
+        out = I.decode_jpeg(payload)
+        assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=200),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_jpeg_truncation_never_crashes(cut, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (16, 16), np.uint8)
+    j = I.encode_jpeg(img, quality=90)
+    out = I.decode_jpeg(j[:max(0, len(j) - cut)])
+    assert out is None or isinstance(out, np.ndarray)

@@ -53,6 +53,8 @@ HEADLINE = [
     "media_features",
     "media_quality",
     "media_geometry",
+    "video_frames",
+    "audio_features",
     "embedding_norms",
 ]
 
@@ -71,7 +73,8 @@ HISTORY_BEST: dict[str, float] = {
     "ann_cosine_topk": 1.49, "ann_lsh_bucket": 2.4, "ann_ivf": 3.0,
     "lang_id": 0.47,
     "quality_score": 0.76, "fingerprint": 0.31, "media_features": 0.92,
-    "media_quality": 2.9, "media_geometry": 12.0, "embedding_norms": 0.4,
+    "media_quality": 2.9, "media_geometry": 12.0, "video_frames": 4.0,
+    "audio_features": 2.0, "embedding_norms": 0.4,
 }
 
 

@@ -466,6 +466,95 @@ def q_media_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal audio/video: deterministic VID1/AUD1 payload columns →
+# the real frame-sample / audio-feature operators (media_av.py). The
+# oracle regenerates the identical media: video frames are flat (mean
+# = background, closed form per (doc, frame)); audio features are
+# integer arithmetic over the same quantized PCM the SQL re-derives
+# sample-by-sample (floor(x+0.5) quantization — engine-portable
+# halfway semantics; verified bit-exact vs numpy).
+# ---------------------------------------------------------------------------
+
+
+def _docs_ids_parallel(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
+def q_video_frames(spark, sf_dir):
+    import pandas as pd
+
+    from .operators import media_av as AV
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [AV.synth_video(int(i))
+                            for i in pdf["doc_id"]],
+            })
+
+    vids = _docs_ids_parallel(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, payload binary")
+    return AV.frame_sample(vids, every_k=2) \
+        .orderBy("doc_id", "frame_idx")
+
+
+SQL_VIDEO_FRAMES = """
+SELECT doc_id, CAST(u.j AS INT) AS frame_idx, 32 AS h, 48 AS w,
+       CAST(4 * (40 + (doc_id * 7 + u.j * 13) % 180) AS INT) AS mean_q
+FROM documents, unnest(range(0, 4 + doc_id % 5)) AS u(j)
+WHERE u.j % 2 = 0 ORDER BY doc_id, frame_idx
+"""
+
+
+def q_audio_features(spark, sf_dir):
+    import pandas as pd
+
+    from .operators import media_av as AV
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [AV.synth_audio(int(i))
+                            for i in pdf["doc_id"]],
+            })
+
+    auds = _docs_ids_parallel(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, payload binary")
+    return AV.audio_features(auds).orderBy("doc_id")
+
+
+SQL_AUDIO_FEATURES = """
+WITH p AS (
+  SELECT doc_id, 220 + (doc_id % 5) * 110 AS f,
+         800 + (doc_id % 4) * 400 AS n
+  FROM documents
+),
+pcm AS (
+  SELECT doc_id, f, n,
+         list_transform(range(0, n),
+           j -> CAST(floor(16383.5 * sin(2 * pi() * f * j / 8000.0
+                                         + 0.1) + 0.5) AS BIGINT)) AS q
+  FROM p
+)
+SELECT doc_id, 8000 AS rate, CAST(n AS INT) AS n_samples,
+       CAST(round(1000.0 * n / 8000.0) AS INT) AS duration_ms,
+       CAST(len(list_filter(range(1, n),
+                j -> q[j] * q[j + 1] < 0)) AS INT) AS zero_crossings,
+       CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS peak,
+       CAST(floor(sqrt(CAST(list_sum(list_transform(q, x -> x * x))
+                            AS DOUBLE) / n) + 0.5) AS INT) AS rms
+FROM pcm ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal P10-P12 geometry end-to-end: known-skew synthetic cards →
 # the REAL estimator/deskew/minimal-path numpy ops; the oracle predicts
 # the exact quarter-degree estimator output and the closed-form output

@@ -87,3 +87,54 @@ def test_stateful_session_assembly(spark, tmp_path):
     assert a["joined_text"] == "KARTU TANDA PENDUDUK NIK : 123"
     assert "B" in rows and rows["B"]["joined_text"] == "hello"
     assert "C" not in rows      # still open — watermark never passed it
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (watermarked dropDuplicates on the batch
+    fingerprint) keeps exactly one doc per distinct normalized text
+    across micro-batches, agreeing with the batch dedup's distinct
+    count."""
+    import pyspark.sql.functions as F
+
+    from indonesian_id_ocr_service_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each arriving 3x across separate files
+        rows.append((i, f"shared text number {i % 10} with words",
+                     "2026-01-01 10:%02d:00" % (i % 30)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ingest_time", F.col("ts").cast("timestamp")).drop("ts")
+    src = str(tmp_path / "dsrc")
+    # 3 files → multiple micro-batches with maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "dout")
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    got = spark.read.parquet(out).collect()
+    # exactly one survivor per distinct fingerprint, even across
+    # micro-batch boundaries (state carries between triggers)
+    assert len(got) == 10
+    assert len({r.fingerprint for r in got}) == 10
+    texts = sorted({r.text for r in got})
+    assert texts == sorted(f"shared text number {k} with words"
+                           for k in range(10))

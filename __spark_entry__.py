@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": QD.q_ann_lsh_bucket,
         "ann_ivf": QD.q_ann_ivf,
         "media_geometry": QD.q_media_geometry,
+        "html_main_content": QD.q_html_main_content,
+        "pdf_text": QD.q_pdf_text,
         "video_frames": QD.q_video_frames,
         "audio_features": QD.q_audio_features,
         "lang_id": QD.q_lang_id,
@@ -139,6 +141,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": QD.SQL_ANN_LSH_BUCKET,
         "ann_ivf": QD.SQL_ANN_IVF,
         "media_geometry": QD.SQL_MEDIA_GEOMETRY,
+        "html_main_content": QD.SQL_HTML_MAIN_CONTENT,
+        "pdf_text": QD.SQL_PDF_TEXT,
         "video_frames": QD.SQL_VIDEO_FRAMES,
         "audio_features": QD.SQL_AUDIO_FEATURES,
         "lang_id": QD.SQL_LANG_ID,

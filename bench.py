@@ -53,6 +53,8 @@ HEADLINE = [
     "media_features",
     "media_quality",
     "media_geometry",
+    "html_main_content",
+    "pdf_text",
     "video_frames",
     "audio_features",
     "embedding_norms",
@@ -74,6 +76,7 @@ HISTORY_BEST: dict[str, float] = {
     "lang_id": 0.47,
     "quality_score": 0.76, "fingerprint": 0.31, "media_features": 0.92,
     "media_quality": 2.9, "media_geometry": 12.0, "video_frames": 4.0,
+    "html_main_content": 5.0, "pdf_text": 4.0,
     "audio_features": 2.0, "embedding_norms": 0.4,
 }
 

@@ -466,6 +466,88 @@ def q_media_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Main-content extraction (north rule: HTML boilerplate strip, PDF
+# parse, DOM heuristics): deterministic fixture pages/PDFs wrap each
+# document's text in boilerplate (link-only nav/ads/footer, teaser
+# blocks; Flate-compressed PDF content streams on even ids), and the
+# REAL extractors (operators/content_extract.py) must recover exactly
+# the main text. The oracle rebuilds the expected string in closed
+# form: 10-word paragraphs; for HTML, paragraphs under 25 chars drop —
+# the extractor's own min-length boilerplate rule, modelled in SQL.
+# ---------------------------------------------------------------------------
+
+_CHUNKS_SQL = """
+  list_transform(
+    range(0, CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)),
+    g -> array_to_string(
+           list_slice(string_split(text, ' '), g * 10 + 1,
+                      least((g + 1) * 10,
+                            len(string_split(text, ' ')))), ' '))
+"""
+
+
+def _docs_text_parallel(spark, sf_dir):
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
+def q_html_main_content(spark, sf_dir):
+    import pandas as pd
+
+    from .operators import content_extract as CE
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "html": [CE.synth_html(int(i), t) for i, t in
+                         zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    pages = _docs_text_parallel(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, html string")
+    return CE.html_main_content(pages).orderBy("doc_id")
+
+
+SQL_HTML_MAIN_CONTENT = f"""
+SELECT doc_id,
+       array_to_string(
+         list_filter({_CHUNKS_SQL}, p -> length(p) >= 25),
+         chr(10)) AS main_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_pdf_text(spark, sf_dir):
+    import pandas as pd
+
+    from .operators import content_extract as CE
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [CE.synth_pdf(int(i), t) for i, t in
+                            zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    pdfs = _docs_text_parallel(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, payload binary")
+    return CE.pdf_text(pdfs).orderBy("doc_id")
+
+
+SQL_PDF_TEXT = f"""
+SELECT doc_id,
+       array_to_string({_CHUNKS_SQL}, chr(10)) AS pdf_text
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal audio/video: deterministic VID1/AUD1 payload columns →
 # the real frame-sample / audio-feature operators (media_av.py). The
 # oracle regenerates the identical media: video frames are flat (mean

@@ -960,10 +960,13 @@ def resize_keep_aspect(img: np.ndarray, target_width: int) -> np.ndarray:
     fy = np.clip(ys - y0, 0, 1)[:, None]
     fx = np.clip(xs - x0, 0, 1)[None, :]
     f = img.astype(np.float64)
-    out = ((1 - fy) * ((1 - fx) * f[np.ix_(y0, x0)]
-                       + fx * f[np.ix_(y0, x1)])
-           + fy * ((1 - fx) * f[np.ix_(y1, x0)]
-                   + fx * f[np.ix_(y1, x1)]))
+    # separable form, bit-identical association to the direct 4-gather
+    # expression ((1-fy)·r0 + fy·r1 with r = (1-fx)·f0 + fx·f1) but
+    # with the x-interpolation shared across output rows — ~4× fewer
+    # full-size temporaries, which dominates upscale cost on this
+    # host's allocation-heavy page-zeroing regime
+    tmp = (1 - fx) * f[:, x0] + fx * f[:, x1]
+    out = (1 - fy) * tmp[y0, :] + fy * tmp[y1, :]
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 

@@ -220,6 +220,39 @@ def synth_pdf(doc_id: int, text: str) -> bytes:
 
 _STREAM_RX = re.compile(
     rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_AT_RX = re.compile(rb"stream(\r\n|\n)")
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def _stream_objects(payload: bytes):
+    """Yield (dict_bytes, data_bytes) per stream object, honoring
+    /Length to delimit the data exactly — regex-scanning to
+    ``endstream`` strips a trailing 0x0D from binary data (the classic
+    PDF pitfall: compressed bytes ending in '\\r' merge into the
+    end-of-line marker). Falls back to the endstream scan only when
+    /Length is absent or inconsistent."""
+    for m in _STREAM_AT_RX.finditer(payload):
+        start = m.end()
+        seg = payload[max(0, m.start() - 600):m.start()]
+        d0 = seg.rfind(b"<<")
+        head = seg[d0:] if d0 != -1 else b""
+        lm = _LENGTH_RX.search(head)
+        if lm:
+            n = int(lm.group(1))
+            data = payload[start:start + n]
+            tail = payload[start + n:start + n + 16]
+            if len(data) == n and b"endstream" in tail:
+                yield head, data
+                continue
+        em = payload.find(b"endstream", start)
+        if em == -1:
+            continue
+        data = payload[start:em]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n") or data.endswith(b"\r"):
+            data = data[:-1]
+        yield head, data
 _TJ_RX = re.compile(r"\(((?:\\.|[^\\()])*)\)\s*Tj")
 _UNESC_RX = re.compile(r"\\([\\()nrtbf]|[0-7]{1,3})")
 
@@ -245,8 +278,7 @@ def extract_pdf_text(payload: bytes) -> str | None:
     if not payload or not payload.startswith(b"%PDF"):
         return None
     lines: list[str] = []
-    for m in _STREAM_RX.finditer(payload):
-        head, data = m.group(1), m.group(2)
+    for head, data in _stream_objects(payload):
         if b"FlateDecode" in head:
             try:
                 data = zlib.decompress(data)

@@ -386,10 +386,11 @@ FROM embeddings GROUP BY label ORDER BY label
 def q_media_quality(spark, sf_dir):
     import pandas as pd
 
-    from .queries import ensure_session_conf
-
-    ensure_session_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # compute-bound per-doc stage (JPEG codec + orientation votes):
+    # spread the ids over all cores — the 5-file source gives only 5
+    # tasks at sf0.1 (ids-only shuffle; file splits provide this at
+    # production scale)
+    df = _docs_ids_parallel(spark, sf_dir)
 
     def gen(batches):
         from .operators import image_ops as I

@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_completeness": Q.q_weighted_completeness,
         "pricing_summary": Q.q_pricing_summary,
         "events_hourly": Q.q_events_hourly,
+        "rollup_pricing": Q.q_rollup_pricing,
+        "customer_set_ops": Q.q_customer_set_ops,
+        "approx_distinct": Q.q_approx_distinct,
         # training-data ops
         "dedup_exact": QD.q_dedup_exact,
         "minhash_lsh": QD.q_minhash_lsh,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_completeness": Q.SQL_WEIGHTED_COMPLETENESS,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "events_hourly": Q.SQL_EVENTS_HOURLY,
+        "rollup_pricing": Q.SQL_ROLLUP_PRICING,
+        "customer_set_ops": Q.SQL_CUSTOMER_SET_OPS,
+        "approx_distinct": Q.SQL_APPROX_DISTINCT,
         "dedup_exact": QD.SQL_DEDUP_EXACT,
         "minhash_lsh": QD.SQL_MINHASH_LSH,
         "ngram_jaccard": QD.SQL_NGRAM_JACCARD,

@@ -32,6 +32,9 @@ HEADLINE = [
     "broadcast_dim_join",
     "top1_per_group",
     "events_hourly",
+    "rollup_pricing",
+    "customer_set_ops",
+    "approx_distinct",
     "nik_structural",
     "clean_nik",
     "date_standard",
@@ -68,6 +71,7 @@ HEADLINE = [
 HISTORY_BEST: dict[str, float] = {
     "pricing_summary": 0.76, "broadcast_dim_join": 0.96,
     "top1_per_group": 0.72, "events_hourly": 0.48,
+    "rollup_pricing": 1.5, "customer_set_ops": 1.5, "approx_distinct": 1.5,
     "nik_structural": 1.62, "clean_nik": 2.5, "date_standard": 1.7,
     "year_repair": 1.5, "pad_nik_dob": 1.78, "ocr_confidence": 1.54,
     "doc_type": 0.85, "dedup_exact": 0.84, "minhash_lsh": 3.5,

@@ -851,3 +851,94 @@ SELECT date_trunc('hour', ts) AS hour_start, event_type,
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.8 "not in the reference" relational shapes, closed as SQL-checkable
+# demos: ROLLUP subtotals, INTERSECT/EXCEPT, and an HLL
+# approx-distinct accuracy gate.
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """Hierarchical subtotals: per (returnflag, linestatus), per
+    returnflag, and grand total in one pass — Spark `rollup` = one
+    Expand + hash aggregate, no multi-scan union."""
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_customer_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over customer activity windows: customers
+    ordering in both 1995 and 1996, minus those with any priority-1
+    order. Set semantics (dedup), shuffle on the key only."""
+    o = _read(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    return (
+        y95.intersect(y96).exceptAll(urgent.distinct())
+        .orderBy("o_custkey")
+    )
+
+
+SQL_CUSTOMER_SET_OPS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_custkey
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Approximate aggregate gate: HyperLogLog++ distinct-count per
+    order priority vs the exact count, asserting the documented ≤5%
+    relative error INSIDE the result (the oracle can't replicate HLL
+    registers across engines, but it can demand the accuracy
+    contract: both emit the exact count and `approx_ok` must be
+    true)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02)
+            .alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (F.abs(F.col("approx") - F.col("exact_custs"))
+             <= 0.05 * F.col("exact_custs")).alias("approx_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket": QD.q_ann_lsh_bucket,
         "ann_ivf": QD.q_ann_ivf,
         "media_geometry": QD.q_media_geometry,
+        "corpus_curation": QD.q_corpus_curation,
         "html_main_content": QD.q_html_main_content,
         "pdf_text": QD.q_pdf_text,
         "video_frames": QD.q_video_frames,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket": QD.SQL_ANN_LSH_BUCKET,
         "ann_ivf": QD.SQL_ANN_IVF,
         "media_geometry": QD.SQL_MEDIA_GEOMETRY,
+        "corpus_curation": QD.SQL_CORPUS_CURATION,
         "html_main_content": QD.SQL_HTML_MAIN_CONTENT,
         "pdf_text": QD.SQL_PDF_TEXT,
         "video_frames": QD.SQL_VIDEO_FRAMES,

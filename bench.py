@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash",
     "ngram_jaccard",
     "dedup_verified",
+    "corpus_curation",
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_ivf",
@@ -76,6 +77,7 @@ HISTORY_BEST: dict[str, float] = {
     "year_repair": 1.5, "pad_nik_dob": 1.78, "ocr_confidence": 1.54,
     "doc_type": 0.85, "dedup_exact": 0.84, "minhash_lsh": 3.5,
     "simhash": 0.74, "ngram_jaccard": 1.67, "dedup_verified": 7.0,
+    "corpus_curation": 3.0,
     "ann_cosine_topk": 1.49, "ann_lsh_bucket": 2.4, "ann_ivf": 3.0,
     "lang_id": 0.47,
     "quality_score": 0.76, "fingerprint": 0.31, "media_features": 0.92,

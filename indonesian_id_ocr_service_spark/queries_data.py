@@ -315,6 +315,86 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Composed corpus curation — the end-to-end training-data shape a real
+# user runs: exact dedup (first doc per fingerprint wins) → language ID
+# → quality filter → token accounting. Every stage is an already
+# oracle-proven primitive; this query gates their COMPOSITION.
+# At 100 TB: one shuffle on the 16-byte fingerprint (text never
+# shuffles — the window runs where the hash lands), then narrow
+# JVM expressions.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_curation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = _docs_with_dups(spark, sf_dir)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        docs.withColumn("fp", TA.fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.select(
+            "doc_id",
+            TA.lang_guess(F.col("text")).alias("lang"),
+            TA.quality_score(F.col("text")).alias("quality"),
+            TA.token_counts(F.col("text"))["ws_tokens"].alias(
+                "ws_tokens"),
+        )
+        .filter(F.col("quality") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH docs AS ({_DOCS_DUPS_SQL}),
+fp AS (
+  SELECT doc_id, text, md5({_NORM_SQL}) AS fp,
+         row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                            ORDER BY doc_id) AS rn
+  FROM docs
+),
+kept AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_ID_PAT}')) AS id_n,
+         len(regexp_extract_all(lower(text), '{_EN_PAT}')) AS en_n,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+              AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_ALL_PAT}'))
+              AS DOUBLE) AS stop,
+         CAST(len(string_split_regex(trim(text), '\\s+'))
+              AS DOUBLE) AS words
+  FROM kept
+)
+SELECT doc_id,
+       CASE WHEN id_n > en_n THEN 'id'
+            WHEN en_n > id_n THEN 'en'
+            ELSE 'unknown' END AS lang,
+       round(least(n / 2000.0, 1.0) * 0.35
+             + (alpha / greatest(n, 1.0)) * 0.25
+             + (1.0 - least(punct * 10.0 / greatest(n, 1.0), 1.0))
+               * 0.20
+             + least(stop / greatest(words * 0.1, 1.0), 1.0) * 0.20,
+             6) AS quality,
+       CAST(words AS INT) AS ws_tokens
+FROM feat
+WHERE round(least(n / 2000.0, 1.0) * 0.35
+            + (alpha / greatest(n, 1.0)) * 0.25
+            + (1.0 - least(punct * 10.0 / greatest(n, 1.0), 1.0))
+              * 0.20
+            + least(stop / greatest(words * 0.1, 1.0), 1.0) * 0.20,
+            6) >= 0.5
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary payload → deterministic feature extraction (stub
 # decode, real Arrow plumbing)
 # ---------------------------------------------------------------------------

@@ -87,3 +87,25 @@ def test_minhash_lsh_single_shuffle_side(spark):
     # signatures feed the join from a plain scan+project, not from an
     # aggregation: no partial-agg Exchange before the join keys exist
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rollup_single_expand_pass(spark):
+    """ROLLUP must be one Expand + hash aggregate — not a union of
+    per-level scans."""
+    df = Q.q_rollup_pricing(spark, SF)
+    plan = audit.simple_plan(df)
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_ann_ivf_ids_only_candidate_shuffle(spark):
+    """The IVF candidate join must carry ids/cells only — vectors join
+    back after the candidate cut, query side broadcast."""
+    df = QD.q_ann_ivf(spark, SF)
+    plan = audit.simple_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the cell join's build side is the probe assignment (query_id,
+    # cell) — no embedding column may appear in the bucket kernels
+    import re
+    m = re.findall(r"MapInPandas.*", plan)
+    assert m and all("embedding" not in s for s in m), m[:2]

@@ -124,10 +124,18 @@ class ExtractionRun:
         ).cast("int")
 
     def process(self, spark: SparkSession, src: DataFrame,
-                pipeline_fn) -> dict:
+                pipeline_fn, metrics_fn=None,
+                log_month: str | None = None) -> dict:
         """Run pipeline_fn over ALL uncommitted buckets in ONE job,
         skipping committed ones. Returns
         {buckets_run, buckets_skipped, rows}.
+
+        ``metrics_fn``: optional ``output DataFrame → metrics-input
+        DataFrame`` hook; when given, per-document extraction-quality
+        metrics for the freshly committed buckets land under the
+        month/run partition (write_metrics) in the same call — the
+        results + lineage + metrics triple the north star requires
+        from one resumable run.
 
         One source scan regardless of how many buckets are pending (a
         per-bucket loop would be O(n_buckets) full scans — wrong for a
@@ -176,6 +184,10 @@ class ExtractionRun:
             rows = int(counts.get(b, 0))
             self._append_lineage(b, "committed", rows, started)
             total_rows += rows
+        if metrics_fn is not None:
+            fresh = (spark.read.parquet(self.results_dir)
+                     .filter(F.col("bucket").isin(todo)))
+            self.write_metrics(metrics_fn(fresh), log_month=log_month)
         return {"buckets_run": len(todo), "buckets_skipped": skipped,
                 "rows": total_rows}
 

@@ -235,3 +235,38 @@ def test_metrics_month_partition(spark, tmp_path):
     m3 = run.write_metrics(fields)
     import re
     assert re.fullmatch(r"\d{4}-\d{2}", m3)
+
+
+def test_process_with_metrics_hook(spark, tmp_path):
+    """One resumable process() call commits results + lineage AND the
+    month-partitioned metrics for exactly the fresh buckets (the
+    results/lineage/metrics triple of the north star)."""
+    import os
+
+    from indonesian_id_ocr_service_spark.corpus.generator import (
+        SPAN_SCHEMA_DDL, doc_rows)
+    from indonesian_id_ocr_service_spark.pipeline import (
+        run_pipeline_fields,
+    )
+
+    rows = list(doc_rows(30, fractions=(1.0, 0, 0)))
+    df = spark.createDataFrame(rows, SPAN_SCHEMA_DDL)
+    run = ExtractionRun(str(tmp_path / "runm2"), run_id="rm",
+                        n_buckets=4)
+    res = run.process(
+        spark, df, run_pipeline_fields,
+        metrics_fn=lambda out: out,   # fields frame IS the metrics input
+        log_month="2026-08")
+    assert res["buckets_run"] == 4
+    mdir = os.path.join(run.metrics_dir, "log_month=2026-08",
+                        "run_id=rm")
+    assert os.path.isdir(mdir)
+    mets = spark.read.parquet(run.metrics_dir)
+    assert mets.count() == res["rows"] > 0
+    assert {"doc_id", "fields_found", "weighted_completeness"} \
+        <= set(mets.columns)
+    # a resume with nothing pending writes no further metrics
+    res2 = run.process(spark, df, run_pipeline_fields,
+                       metrics_fn=lambda out: out, log_month="2026-08")
+    assert res2["buckets_run"] == 0
+    assert spark.read.parquet(run.metrics_dir).count() == res["rows"]

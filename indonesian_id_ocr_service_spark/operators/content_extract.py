@@ -224,6 +224,31 @@ _STREAM_AT_RX = re.compile(rb"stream(\r\n|\n)")
 _LENGTH_RX = re.compile(rb"/Length\s+(\d+)\b")
 
 
+def _dict_before(seg: bytes) -> bytes:
+    """The full stream dictionary ending at ``seg``'s tail: scan
+    backward balancing ``<<``/``>>`` pairs. A plain ``rfind(b"<<")``
+    grabs the innermost nested dict (/DecodeParms << >>, /Resources
+    << >> ...), losing /Length and /Filter on real-world PDFs."""
+    end = seg.rfind(b">>")
+    if end == -1:
+        return b""
+    depth = 0
+    i = end
+    while i >= 0:
+        if seg.startswith(b">>", i):
+            depth += 1
+            i -= 2
+            continue
+        if seg.startswith(b"<<", i):
+            depth -= 1
+            if depth == 0:
+                return seg[i:end + 2]
+            i -= 2
+            continue
+        i -= 1
+    return b""
+
+
 def _stream_objects(payload: bytes):
     """Yield (dict_bytes, data_bytes) per stream object, honoring
     /Length to delimit the data exactly — regex-scanning to
@@ -234,8 +259,7 @@ def _stream_objects(payload: bytes):
     for m in _STREAM_AT_RX.finditer(payload):
         start = m.end()
         seg = payload[max(0, m.start() - 600):m.start()]
-        d0 = seg.rfind(b"<<")
-        head = seg[d0:] if d0 != -1 else b""
+        head = _dict_before(seg)
         lm = _LENGTH_RX.search(head)
         if lm:
             n = int(lm.group(1))

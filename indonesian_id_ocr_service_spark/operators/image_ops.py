@@ -606,6 +606,13 @@ class _BitReader:
         self.nbits = 0
         d, p = self.data, self.pos
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            # _fill detected the marker but never consumed it: pos still
+            # points at the 0xFF byte. Advance past FF Dn here, or the
+            # next _fill re-detects the same marker and the reader emits
+            # zero-padding forever on malformed/truncated streams.
+            if (p + 1 < len(d) and d[p] == 0xFF
+                    and d[p + 1] == self.marker):
+                self.pos = p + 2
             self.marker = None
             return True
         if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:

@@ -156,8 +156,12 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
                 for j, frm in enumerate(frames):
                     if j % every_k:
                         continue
+                    # floor(x+0.5), not Python round(): half-to-even
+                    # would diverge from a half-away SQL oracle on
+                    # payloads whose 4*mean hits a .5 boundary
                     rows.append((did, j, frm.shape[0], frm.shape[1],
-                                 int(round(4.0 * float(frm.mean())))))
+                                 int(np.floor(4.0 * float(frm.mean())
+                                              + 0.5))))
             yield pd.DataFrame(rows, columns=[
                 id_col, "frame_idx", "h", "w", "mean_q"])
 
@@ -192,7 +196,7 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
                 rms = int(np.floor(
                     np.sqrt(float(np.sum(q * q)) / n) + 0.5)) if n else 0
                 rows.append((did, int(rate), n,
-                             int(round(1000.0 * n / rate)),
+                             int(np.floor(1000.0 * n / rate + 0.5)),
                              zc, int(np.max(np.abs(q))) if n else 0,
                              rms))
             yield pd.DataFrame(rows, columns=[

@@ -707,7 +707,7 @@ pcm AS (
   FROM p
 )
 SELECT doc_id, 8000 AS rate, CAST(n AS INT) AS n_samples,
-       CAST(round(1000.0 * n / 8000.0) AS INT) AS duration_ms,
+       CAST(floor(1000.0 * n / 8000.0 + 0.5) AS INT) AS duration_ms,
        CAST(len(list_filter(range(1, n),
                 j -> q[j] * q[j + 1] < 0)) AS INT) AS zero_crossings,
        CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS peak,

@@ -86,16 +86,19 @@ def streaming_dedup(docs: DataFrame,
     """Streaming exact dedup: keep the first arrival of each content
     fingerprint, drop later copies. The same 16-byte md5-of-normalized-
     text fingerprint as the batch `dedup.exact` path, so batch and
-    stream agree on what is a duplicate; `dropDuplicates` keys the
-    streaming state on the fingerprint and the watermark bounds state
-    (a fingerprint unseen for `watermark` of event time is evicted —
-    at 10^12-doc scale unbounded dedup state is the failure mode, and
-    the watermark is the knob that trades recall for state size)."""
+    stream agree on what is a duplicate; `dropDuplicatesWithinWatermark`
+    keys the streaming state on the fingerprint and the watermark
+    EVICTS state (a fingerprint whose last arrival is older than the
+    watermark is dropped from the store — at 10^12-doc scale unbounded
+    dedup state is the failure mode, and the watermark is the knob
+    that trades recall for state size). Plain ``dropDuplicates`` on a
+    key excluding the event-time column would never evict: identical
+    results, unbounded state — the exact failure this prevents."""
     from ..functions.text_analysis import normalize_text
 
     fp = docs.withColumn("fingerprint",
                          F.md5(normalize_text(F.col("text"))))
     return (
         fp.withWatermark(event_time_col, watermark)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )

@@ -90,10 +90,13 @@ def test_stateful_session_assembly(spark, tmp_path):
 
 
 def test_streaming_dedup_matches_batch(spark, tmp_path):
-    """Streaming exact dedup (watermarked dropDuplicates on the batch
-    fingerprint) keeps exactly one doc per distinct normalized text
-    across micro-batches, agreeing with the batch dedup's distinct
-    count."""
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    batch fingerprint) keeps exactly one doc per distinct normalized
+    text across micro-batches when every duplicate arrives within the
+    watermark horizon — agreeing with the batch dedup's distinct
+    count. (With a shorter watermark, state for old fingerprints is
+    evicted and far-apart copies may legitimately re-emit; see
+    test_streaming_dedup_evicts_state.)"""
     import pyspark.sql.functions as F
 
     from indonesian_id_ocr_service_spark.streaming.pipeline import (
@@ -120,7 +123,9 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     )
     out = str(tmp_path / "dout")
     q = (
-        streaming_dedup(stream)
+        # arrivals span 30 min of event time; 45-min watermark keeps
+        # every duplicate inside the dedup horizon → exact batch parity
+        streaming_dedup(stream, watermark="45 minutes")
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", str(tmp_path / "dckpt"))
@@ -138,3 +143,57 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     texts = sorted({r.text for r in got})
     assert texts == sorted(f"shared text number {k} with words"
                            for k in range(10))
+
+
+def test_streaming_dedup_evicts_state(spark, tmp_path):
+    """The recall-for-state tradeoff: with a watermark shorter than
+    the duplicate spacing, dropDuplicatesWithinWatermark EVICTS old
+    fingerprints, so far-apart copies can re-emit. Every distinct
+    text still appears (no false drops); some beyond-horizon
+    duplicates survive (proof state is bounded, not accumulated
+    forever — the unbounded-state failure dropDuplicates on a
+    non-event-time key would have)."""
+    import pyspark.sql.functions as F
+
+    from indonesian_id_ocr_service_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    rows = []
+    for copy in range(3):
+        for k in range(10):
+            # copies of text k spaced a full hour apart, one file per
+            # copy-wave so micro-batches advance the watermark between
+            rows.append((copy * 10 + k,
+                         f"shared text number {k} with words",
+                         "2026-01-01 %02d:00:00" % (10 + copy)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ingest_time", F.col("ts").cast("timestamp")).drop("ts")
+    src = str(tmp_path / "esrc")
+    df.repartition(3, "doc_id").write.parquet(src)
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, ingest_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "eout")
+    q = (
+        streaming_dedup(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    got = spark.read.parquet(out).collect()
+    # no false drops: all 10 distinct texts present
+    assert len({r.text for r in got}) == 10
+    # state bounded: at least one within-horizon dedup happened, and
+    # nothing beyond the input count survived
+    assert 10 <= len(got) <= 30

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from indonesian_id_ocr_service_spark import queries as Q  # noqa: E402
 from indonesian_id_ocr_service_spark import queries_data as QD  # noqa: E402
+from indonesian_id_ocr_service_spark import queries_e2e as QE  # noqa: E402
 from indonesian_id_ocr_service_spark import queries_scoring as QS  # noqa: E402
 
 
@@ -72,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kabupaten_clean": Q.q_kabupaten_clean,
         # §2.3 classification
         "doc_type": Q.q_doc_type,
+        # flagship extraction end-to-end (K/N/V series + span assembly
+        # through the production mapInArrow kernel)
+        "ktp_extraction_e2e": QE.q_ktp_extraction_e2e,
         # §2.7 cross-validation & scoring
         "nik_decode": Q.q_nik_decode,
         "pad_nik_dob": Q.q_pad_nik_dob,
@@ -126,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "status_layers": Q.SQL_STATUS_LAYERS,
         "kabupaten_clean": Q.SQL_KABUPATEN_CLEAN,
         "doc_type": Q.SQL_DOC_TYPE,
+        "ktp_extraction_e2e": QE.SQL_KTP_EXTRACTION_E2E,
         "nik_decode": Q.SQL_NIK_DECODE,
         "pad_nik_dob": Q.SQL_PAD_NIK_DOB,
         "confidence_scoring": QS.SQL_CONFIDENCE_SCORING,

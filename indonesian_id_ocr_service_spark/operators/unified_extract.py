@@ -364,8 +364,13 @@ def full_kernel_batch_arrow(batches):
             raw_df = pd.DataFrame(raw_rows, columns=raw_cols)
             final = PK.post_chain(raw_df, pd.Series(rescues))
             for f_i, f in enumerate(_OUT_FIELDS):
+                # NaN → None: a batch whose KTP subset has a field
+                # all-missing comes back float64 from pandas, and
+                # pa.array(..., pa.string()) rejects numpy.float64
                 col = (["KTP"] * len(ktp_pos) if f == "document_type"
-                       else list(final[f].values))
+                       else [None if v is None
+                             or (isinstance(v, float) and v != v)
+                             else v for v in final[f].values])
                 for p, v in zip(ktp_pos, col):
                     field_vals[f_i][p] = v
 

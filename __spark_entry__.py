@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship extraction end-to-end (K/N/V series + span assembly
         # through the production mapInArrow kernel)
         "ktp_extraction_e2e": QE.q_ktp_extraction_e2e,
+        "sim_extraction_e2e": QE.q_sim_extraction_e2e,
         # §2.7 cross-validation & scoring
         "nik_decode": Q.q_nik_decode,
         "pad_nik_dob": Q.q_pad_nik_dob,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "kabupaten_clean": Q.SQL_KABUPATEN_CLEAN,
         "doc_type": Q.SQL_DOC_TYPE,
         "ktp_extraction_e2e": QE.SQL_KTP_EXTRACTION_E2E,
+        "sim_extraction_e2e": QE.SQL_SIM_EXTRACTION_E2E,
         "nik_decode": Q.SQL_NIK_DECODE,
         "pad_nik_dob": Q.SQL_PAD_NIK_DOB,
         "confidence_scoring": QS.SQL_CONFIDENCE_SCORING,

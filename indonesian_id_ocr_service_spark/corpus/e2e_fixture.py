@@ -387,3 +387,260 @@ WITH t AS (
 )
 {union}
 """
+
+
+# ===========================================================================
+# SIM fixture: the M-series state machines + C6 two-pass gate end-to-end
+# ===========================================================================
+#
+# ==== ======================================== ==========================
+# cls  document shape                           tiers exercised
+# ==== ======================================== ==========================
+# 0    modern (labeled) layout, std view +      M1 row clustering, M2
+#      identical SmartSIM alt view              anchor tagging, M9 smart
+#                                               anchor strategy, C6 gate
+#                                               (equal completeness →
+#                                               merge is a no-op)
+# 1    legacy numbered layout (1. … 6.),        M5-M8 legacy section
+#      single view                              state machine, M12
+#                                               address block parser,
+#                                               M13 region detector
+# 2    legacy std view with name+address        C6 completeness gate:
+#      lines LOST + full alt view               re-pass wins, std
+#                                               back-fills (document_
+#                                               processor.py:421-440)
+# 3    legacy with the TTL date printed with    M10 TTL parse →
+#      dots (``17.08.1967``)                    normalize_date_robust
+# ==== ======================================== ==========================
+
+GOLDAR = ["A", "B", "AB", "O"]
+
+
+# class-3 dotted dates: day/month must not END in 2 — the legacy
+# walk's section strip re.sub(rf"{section}\.\s*") is UNANCHORED (same
+# in the reference, sim_extractor.py:414) and would eat the "2." inside
+# "12.04.1989", mangling the date before M10 ever sees it
+_C3_MONTHS = [1, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+
+
+def sim_truth(i: int) -> dict:
+    cls = i % 4
+    if cls == 3:
+        day = 3 + i % 9
+        month = _C3_MONTHS[i % 10]
+    else:
+        day = 1 + i % 28
+        month = 1 + i % 12
+    year = 1950 + i % 47
+    male = i % 2 == 0
+    return {
+        "cls": cls,
+        "name": f"{FIRST[i % 4]} {LAST[i % 5]}",
+        "birth_place": KOTA[(i // 2) % 5],
+        "date": f"{day:02d}-{month:02d}-{year:04d}",
+        "simno": (f"{1000 + i % 9000:04d}-{1000 + (i * 7) % 9000:04d}-"
+                  f"{10000 + i % 90000:05d}"),
+        "expiry": f"{1 + i % 28:02d}-{1 + i % 12:02d}-{2022 + i % 8:04d}",
+        "street": f"{STREET[i % 4]} NO. {1 + i % 20}",
+        "rt": 1 + i % 20,
+        "rw": 1 + i % 15,
+        "village": VILL[(i // 3) % 5],
+        "kec": KEC[(i // 5) % 5],
+        "kab": KOTA[(i // 4) % 5],
+        "job": JOB[i % 5],
+        "goldar": GOLDAR[i % 4],
+        "jk": "PRIA" if male else "WANITA",
+    }
+
+
+def _sim_layout(t: dict, add, add_media, legacy: bool,
+                drop: frozenset = frozenset(), media: bool = True,
+                dotted_date: bool = False) -> None:
+    """One OCR view of the SIM card, deterministic.
+
+    No ``INDONESIA`` header row: is_job('INDONESIA') fuzzy-matches an
+    occupation alias (token_set_ratio ≥ 80 — same in the reference's
+    FuzzyMatcher), flipping the legacy walk to section 5 before '1.'
+    and poisoning Pekerjaan with the next non-garbage row. A real card
+    whose header OCRs that way WOULD mis-extract in the reference too;
+    the fixture pins the deterministic tier behavior instead.
+
+    The modern layout prints each label on its OWN row with the value
+    on the row BELOW — the shape the smart anchor strategy (M9,
+    sim_extractor.py:484-616) walks with find-value-forward; a value
+    on the same printed row as its label is joined into one cluster
+    row and the anchor scan skips it (observed parity between the
+    production kernel and the independent oracle)."""
+    date_print = t["date"].replace("-", ".") if dotted_date else t["date"]
+    y = 10
+    if media:
+        add_media("photo", y)
+    add("SURAT IZIN MENGEMUDI", y, 220)
+    y += 28
+    add(f"SIM A {t['simno']}", y, 240)
+    y += 30
+    if legacy:
+        if "name" not in drop:
+            add(f"1. {t['name']}", y, 30); y += 28
+        if "ttl" not in drop:
+            add(f"2. {t['birth_place']}, {date_print}", y, 30); y += 28
+        add(f"3. {t['goldar']} - {t['jk']}", y, 30); y += 28
+        if "addr" not in drop:
+            add(f"4. {t['street']}", y, 30); y += 26
+            add(f"RT {t['rt']:02d} RW {t['rw']:02d} {t['village']}",
+                y, 40); y += 26
+            add(f"KEC. {t['kec']} KOTA {t['kab']}", y, 40); y += 28
+        add(f"5. {t['job']}", y, 30); y += 28
+        add(f"6. {t['kab']}", y, 30); y += 28
+    else:
+        add("Nama", y, 30); y += 26
+        add(t["name"], y, 40); y += 28
+        add("Tempat & Tgl. Lahir", y, 30); y += 26
+        add(f"{t['birth_place']}, {date_print}", y, 40); y += 28
+        add("Gol. Darah - Jenis Kelamin", y, 30); y += 26
+        add(f"{t['goldar']} - {t['jk']}", y, 40); y += 28
+        add("Alamat", y, 30); y += 26
+        add(t["street"], y, 40); y += 26
+        add(f"RT. {t['rt']:02d} RW. {t['rw']:02d} KEL. {t['village']}",
+            y, 40); y += 26
+        add(f"KEC. {t['kec']} KOTA {t['kab']}", y, 40); y += 28
+        add("Pekerjaan", y, 30); y += 26
+        add(t["job"], y, 40); y += 28
+    add(f"BERLAKU SAMPAI {t['expiry']}", y, 30)
+    y += 28
+    add("POLDA METRO JAYA", y, 30)
+
+
+def sim_raw_doc(i: int):
+    """Raw (spans, geom, spans_alt, alt_geom) for SIM doc ``i``."""
+    t = sim_truth(i)
+    cls = t["cls"]
+    spans: list = []
+    geom: list = []
+    alt_spans: list = []
+    alt_geom: list = []
+    target = [spans, geom]
+
+    def add(text: str, y: int, x0: int) -> None:
+        s, g = target
+        s.append(("text", text, "", len(s)))
+        g.append((y, x0, x0 + 9 * max(len(text), 1), 22))
+
+    def add_media(tag: str, y: int) -> None:
+        s, g = target
+        s.append(("media", "", f"media://{i}/{tag}/{len(s)}", len(s)))
+        g.append((y, 820, 980, 160))
+
+    if cls == 0:
+        _sim_layout(t, add, add_media, legacy=False)
+        target[0], target[1] = alt_spans, alt_geom
+        _sim_layout(t, add, add_media, legacy=False, media=False)
+    elif cls == 1:
+        _sim_layout(t, add, add_media, legacy=True)
+    elif cls == 2:
+        _sim_layout(t, add, add_media, legacy=True,
+                    drop=frozenset({"name", "addr"}))
+        target[0], target[1] = alt_spans, alt_geom
+        _sim_layout(t, add, add_media, legacy=True, media=False)
+    else:
+        _sim_layout(t, add, add_media, legacy=True, dotted_date=True)
+    return spans, geom, alt_spans or None, alt_geom or None
+
+
+def sim_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids → SIM raw fixture corpus incl. the alternative OCR view
+    (the C3/C6 second pass)."""
+    import pandas as pd
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                spans, geom, alt, altg = sim_raw_doc(i)
+                rows.append((str(i), spans, geom, alt, altg))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "spans", "span_geom", "spans_alt", "alt_geom"])
+
+    return ids.mapInPandas(
+        gen, f"doc_id string, spans {SPAN_DDL}, span_geom {GEOM_DDL}, "
+             f"spans_alt {SPAN_DDL}, alt_geom {GEOM_DDL}")
+
+
+def sim_expected_sql() -> str:
+    """Expected SIM e2e rows. Shapes pinned by both SIM implementations
+    (kernel + independent oracle, 0-mismatch parity):
+
+    - nomor keeps the printed ``dddd-dddd-ddddd`` dashes on legacy
+      cards; the smart path extracts the digits-only run
+      (sim_extractor.py:588-597 vs :439-443)
+    - the modern address block keeps the ``KEL.`` prefix on kel_desa
+      (the legacy line carries the bare village name)
+    - kabupaten is the full region line ``KEC. x KOTA y`` —
+      clean_sim_kabupaten only strips undotted 1-5-letter prefixes
+      (sim_extractor.py:353-361), and kecamatan stays null for SIM
+    - PRIA/WANITA normalize to LAKI-LAKI/PEREMPUAN
+    """
+    first = _sql_list(FIRST)
+    last = _sql_list(LAST)
+    kota = _sql_list(KOTA)
+    street = _sql_list(STREET)
+    vill = _sql_list(VILL)
+    kec = _sql_list(KEC)
+    job = _sql_list(JOB)
+    fields = [
+        ("document_type", "'SIM'"),
+        ("nomor", "CASE WHEN cls = 0 THEN replace(simno, '-', '') "
+                  "ELSE simno END"),
+        ("nama", "nama"),
+        ("tempat_lahir", "birth_place"),
+        ("tgl_lahir", "date_str"),
+        ("jenis_kelamin", "CASE WHEN doc_id % 2 = 0 THEN 'LAKI-LAKI' "
+                          "ELSE 'PEREMPUAN' END"),
+        ("pekerjaan", "job"),
+        ("alamat.name", "street"),
+        ("alamat.rt_rw", "rtrw"),
+        ("alamat.kel_desa", "CASE WHEN cls = 0 THEN 'KEL. ' || village "
+                            "ELSE village END"),
+        ("alamat.kabupaten", "'KEC. ' || kec || ' KOTA ' || kab"),
+    ]
+    selects = [
+        f"SELECT doc_id, 'field:{name}' AS kind, {expr} AS text, "
+        f"'' AS media_ref, {ord_} AS ord FROM f"
+        for ord_, (name, expr) in enumerate(fields)
+    ]
+    selects.append(
+        "SELECT doc_id, 'media' AS kind, '' AS text, "
+        "'media://' || doc_id || '/photo/0' AS media_ref, "
+        f"{len(fields)} AS ord FROM f"
+    )
+    union = "\nUNION ALL ".join(selects)
+    return f"""
+WITH f AS (
+  SELECT doc_id, doc_id % 4 AS cls,
+         {first}[(doc_id % 4) + 1] || ' ' ||
+           {last}[(doc_id % 5) + 1] AS nama,
+         {kota}[((doc_id // 2) % 5) + 1] AS birth_place,
+         printf('%02d-%02d-%04d',
+                CASE WHEN doc_id % 4 = 3 THEN 3 + doc_id % 9
+                     ELSE 1 + doc_id % 28 END,
+                CASE WHEN doc_id % 4 = 3
+                     THEN [1,3,4,5,6,7,8,9,10,11][(doc_id % 10) + 1]
+                     ELSE 1 + doc_id % 12 END,
+                1950 + doc_id % 47) AS date_str,
+         printf('%04d-%04d-%05d', 1000 + doc_id % 9000,
+                1000 + (doc_id * 7) % 9000,
+                10000 + doc_id % 90000) AS simno,
+         {street}[(doc_id % 4) + 1] || ' NO. ' ||
+           (1 + doc_id % 20) AS street,
+         printf('%02d/%02d', 1 + doc_id % 20, 1 + doc_id % 15) AS rtrw,
+         {vill}[((doc_id // 3) % 5) + 1] AS village,
+         {kec}[((doc_id // 5) % 5) + 1] AS kec,
+         {kota}[((doc_id // 4) % 5) + 1] AS kab,
+         {job}[(doc_id % 5) + 1] AS job
+  FROM documents
+)
+{union}
+"""

@@ -40,3 +40,31 @@ def q_ktp_extraction_e2e(spark, sf_dir):
 
 
 SQL_KTP_EXTRACTION_E2E = ktp_expected_sql()
+
+
+def q_sim_extraction_e2e(spark, sf_dir):
+    from .corpus.e2e_fixture import sim_fixture_df
+    from .pipeline import run_pipeline
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    raw = sim_fixture_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    out = run_pipeline(raw)
+    return out.select(
+        "doc_id", F.explode("out_spans").alias("s")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("ord"),
+    )
+
+
+def _sim_sql():
+    from .corpus.e2e_fixture import sim_expected_sql
+    return sim_expected_sql()
+
+
+SQL_SIM_EXTRACTION_E2E = _sim_sql()

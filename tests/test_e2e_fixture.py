@@ -1,0 +1,97 @@
+"""Guards for the e2e fixture corpora: the Python truth and the DuckDB
+oracle SQL are two renderings of the same closed forms — keep them
+bit-identical without paying a Spark session (the full pipeline runs
+under the driver gate via tools/check_oracle.py)."""
+
+import duckdb
+import pytest
+
+from indonesian_id_ocr_service_spark.corpus.e2e_fixture import (
+    ktp_expected_sql,
+    ktp_raw_doc,
+    ktp_truth,
+    sim_expected_sql,
+    sim_raw_doc,
+    sim_truth,
+)
+
+N = 64
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT range AS doc_id "
+              f"FROM range({N})")
+    return c
+
+
+def _rows(con, sql):
+    out = {}
+    for doc_id, kind, text, media_ref, ordi in con.execute(sql).fetchall():
+        out.setdefault(doc_id, {})[kind] = (text, media_ref, ordi)
+    return out
+
+
+def test_ktp_sql_matches_truth(con):
+    rows = _rows(con, ktp_expected_sql())
+    assert len(rows) == N
+    for i in range(N):
+        t = ktp_truth(i)
+        spans = rows[i]
+        assert spans["field:nomor"][0] == t["nomor"]
+        assert spans["field:tgl_lahir"][0] == t["date"]
+        assert spans["field:alamat.provinsi"][0] == t["provinsi"]
+        assert spans["field:status_perkawinan"][0] == t["status"]
+        if t["cls"] == 4:
+            assert "field:nama" not in spans
+            assert "field:tempat_lahir" not in spans
+            assert spans["media"][2] == 14
+        else:
+            assert spans["field:nama"][0] == t["nama"]
+            assert spans["media"][2] == 16
+        # media ref closes the span-assembly contract
+        assert spans["media"][1] == f"media://{i}/photo/0"
+
+
+def test_sim_sql_matches_truth(con):
+    rows = _rows(con, sim_expected_sql())
+    assert len(rows) == N
+    for i in range(N):
+        t = sim_truth(i)
+        spans = rows[i]
+        exp_nomor = (t["simno"].replace("-", "") if t["cls"] == 0
+                     else t["simno"])
+        assert spans["field:nomor"][0] == exp_nomor
+        assert spans["field:tgl_lahir"][0] == t["date"]
+        kel = ("KEL. " + t["village"]) if t["cls"] == 0 else t["village"]
+        assert spans["field:alamat.kel_desa"][0] == kel
+        assert spans["field:alamat.kabupaten"][0] == (
+            f"KEC. {t['kec']} KOTA {t['kab']}")
+        assert len(spans) == 12
+
+
+def test_raw_docs_deterministic_and_well_formed():
+    for i in range(N):
+        spans, geom = ktp_raw_doc(i)
+        assert spans == ktp_raw_doc(i)[0]
+        assert len(spans) == len(geom)
+        # offsets are dense and ordered (the corpus span contract)
+        assert [s[3] for s in spans] == list(range(len(spans)))
+
+        s2, g2, alt, altg = sim_raw_doc(i)
+        assert len(s2) == len(g2)
+        if alt is not None:
+            assert len(alt) == len(altg)
+        # class 3 dotted dates never contain a section-eating "2."
+        if i % 4 == 3:
+            joined = " ".join(t for _, t, _, _ in s2)
+            assert "2." not in joined.replace(
+                f"2. {sim_truth(i)['birth_place']}", "")
+
+
+def test_class7_seq_floor():
+    # the class-7 closed form relies on seq >= 10 (rpad keeps the seq
+    # block non-zero -> structural 1.0 for the longest-run candidate)
+    for i in range(200):
+        assert int(ktp_truth(i)["nik"][12:]) >= 10

@@ -62,6 +62,8 @@ HEADLINE = [
     "video_frames",
     "audio_features",
     "embedding_norms",
+    "ktp_extraction_e2e",
+    "sim_extraction_e2e",
 ]
 
 # Best warm numbers from the r1-r3 official records + the round-3 judge's
@@ -84,6 +86,7 @@ HISTORY_BEST: dict[str, float] = {
     "media_quality": 1.3, "media_geometry": 4.5, "video_frames": 1.5,
     "html_main_content": 1.1, "pdf_text": 1.1, "audio_features": 1.5,
     "embedding_norms": 0.4,
+    "ktp_extraction_e2e": 6.0, "sim_extraction_e2e": 3.0,
 }
 
 
@@ -284,12 +287,25 @@ def main() -> None:
     except OSError as e:
         print(f"[bench] could not write {runs_path}: {e}",
               file=sys.stderr, flush=True)
+    # Queries whose best sample is STILL >3x their best-ever floor after
+    # the guard passes: every sample landed in a degraded host phase
+    # (they can exceed an hour, so extra spaced samples cannot always
+    # escape one). The flag makes the record self-describing instead of
+    # silently recording a host artifact as the engine's cost — round 4
+    # recorded dedup_verified at 24.5s this way when its real warm cost
+    # was 7.9s.
+    suspect = sorted(
+        n for n in HEADLINE
+        if n in HISTORY_BEST
+        and results[n] > max(3.0 * HISTORY_BEST[n], 2.5)
+    )
     # the LAST stdout line is exactly the compact driver contract
     print(json.dumps({
         "metric": "e2e_extraction_plus_headline_queries",
         "value": round(total, 3),
         "unit": "sec",
         "queries": results,
+        "suspect": suspect,
         "sf": sf,
         "pipeline": {
             "n_docs": n_docs,

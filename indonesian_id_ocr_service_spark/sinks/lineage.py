@@ -201,10 +201,18 @@ class ExtractionRun:
         month's metrics prune to one directory scan.
 
         ``log_month`` defaults to the current UTC month; tests pass it
-        explicitly for determinism. Returns the month used."""
+        explicitly for determinism. Returns the month used.
+
+        A frame carrying the flat output fields (``nomor`` present)
+        goes through ``extraction_metrics`` first; any other frame —
+        e.g. the salted media-quality branch
+        (operators/media_metrics.py) — is written as the metrics rows
+        it already is."""
         if log_month is None:
             log_month = time.strftime("%Y-%m", time.gmtime())
-        (extraction_metrics(fields_df)
+        if "nomor" in fields_df.columns:
+            fields_df = extraction_metrics(fields_df)
+        (fields_df
          .withColumn("run_id", F.lit(self.run_id))
          .withColumn("log_month", F.lit(log_month))
          .write.mode("append")

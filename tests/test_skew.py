@@ -82,3 +82,76 @@ def test_salting_balances_partition_weight(spark):
     finally:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_media_metrics_branch_in_extraction_run(spark, tmp_path):
+    """The salted media stage wired into ExtractionRun (VERDICT r4 task
+    #3): process(metrics_fn=media_quality_metrics) commits results +
+    lineage + per-doc media-quality metrics in one call; the branch's
+    reduce is salt-invariant; resume skips committed buckets without
+    rewriting metrics."""
+    from indonesian_id_ocr_service_spark.corpus.generator import corpus_df
+    from indonesian_id_ocr_service_spark.operators.media_metrics import (
+        media_quality_metrics,
+    )
+    from indonesian_id_ocr_service_spark.pipeline import run_pipeline
+    from indonesian_id_ocr_service_spark.sinks.lineage import ExtractionRun
+
+    src = corpus_df(spark, 60).cache()
+    run = ExtractionRun(str(tmp_path / "run"), "r1", n_buckets=4)
+    stats = run.process(
+        spark, src, run_pipeline,
+        metrics_fn=lambda out: media_quality_metrics(out, chunk=2),
+        log_month="2026-08")
+    assert stats["buckets_run"] == 4
+
+    metrics = spark.read.parquet(run.metrics_dir)
+    rows = {r.doc_id: r for r in metrics.collect()}
+    # every corpus doc carries at least the photo media span -> a row
+    # per doc, counts match the media spans that passed through
+    out = spark.read.parquet(run.results_dir)
+    media_counts = {
+        r.doc_id: r.n for r in out.select(
+            "doc_id",
+            F.size(F.filter(F.col("out_spans"),
+                            lambda s: s["kind"] == "media")).alias("n"))
+        .filter(F.col("n") > 0).collect()
+    }
+    assert set(rows) == set(media_counts)
+    for d, n in media_counts.items():
+        assert rows[d].n_media == n
+        assert rows[d].n_decoded == n     # default resolver always decodes
+
+    # salt-invariance: a different chunk size reproduces the same rows
+    again = media_quality_metrics(out, chunk=16)
+    vals = lambda df: {  # noqa: E731
+        (r.doc_id, r.n_media, r.n_blurry, r.n_dark, float(r.blur_sum))
+        for r in df.collect()}
+    assert vals(again) == vals(metrics.drop("log_month", "run_id"))
+
+    # resume: nothing to do, metrics not duplicated
+    stats2 = run.process(
+        spark, src, run_pipeline,
+        metrics_fn=lambda out: media_quality_metrics(out, chunk=2),
+        log_month="2026-08")
+    assert stats2["buckets_run"] == 0
+    assert spark.read.parquet(run.metrics_dir).count() == len(rows)
+
+
+def test_media_metrics_plan_salt_exchange(spark):
+    """Plan audit: the decode stage is fed by the explicit (doc_id,
+    salt) repartition — ids + refs only, payloads never shuffle — and
+    the only other Exchange is the tiny per-doc partial reduce."""
+    from indonesian_id_ocr_service_spark.operators.media_metrics import (
+        media_quality_metrics,
+    )
+
+    docs = _mk_docs(spark).withColumnRenamed("spans", "out_spans")
+    plan = media_quality_metrics(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    # AQE may show reused/adaptive wrappers; count real shuffle nodes
+    assert plan.count("hashpartitioning(doc_id") >= 1, plan
+    assert n_exchanges <= 2, plan
+    # partial aggregation before the reduce exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan

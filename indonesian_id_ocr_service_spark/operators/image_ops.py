@@ -629,8 +629,11 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline-sequential JPEG → grayscale (h,w) or RGB (h,w,3) uint8;
-    None when the payload is not a decodable baseline JPEG."""
+    """JPEG → grayscale (h,w) or RGB (h,w,3) uint8; None when the
+    payload is not decodable. Covers baseline-sequential (SOF0) AND
+    progressive (SOF2: spectral selection, successive approximation,
+    EOBRUN, interleaved DC / non-interleaved AC scans — T.81 Annex G);
+    other SOF processes are rejected."""
     d = payload
     if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
         return None
@@ -639,14 +642,23 @@ def decode_jpeg(payload: bytes):
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    scans_seen = 0
     pos = 2
     try:
-        while pos + 4 <= len(d):
+        while pos + 2 <= len(d):
             if d[pos] != 0xFF:
                 return None
             marker = d[pos + 1]
-            if marker == 0xD9:
-                return None      # EOI before any scan
+            if marker == 0xD9:                      # EOI
+                if progressive and scans_seen:
+                    return _finish_progressive(h, w, comps, qt)
+                return None
+            if marker == 0xFF:                      # fill byte
+                pos += 1
+                continue
+            if pos + 4 > len(d):
+                return None
             seg_len = (d[pos + 2] << 8) | d[pos + 3]
             body = d[pos + 4:pos + 2 + seg_len]
             nxt = pos + 2 + seg_len
@@ -670,7 +682,8 @@ def decode_jpeg(payload: bytes):
                     huffval = list(body[i + 17:i + 17 + n])
                     huff[(tc, th)] = _huff_decode_map(bits, huffval)
                     i += 17 + n
-            elif marker == 0xC0:                    # SOF0 baseline
+            elif marker in (0xC0, 0xC2):            # SOF0 / SOF2
+                progressive = marker == 0xC2
                 if body[0] != 8:
                     return None
                 h = (body[1] << 8) | body[2]
@@ -679,24 +692,237 @@ def decode_jpeg(payload: bytes):
                     cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                                   "tq": tq})
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                if progressive:
+                    _init_prog_storage(h, w, comps)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None      # non-baseline SOF
+                return None      # unsupported SOF process
             elif marker == 0xDD:                    # DRI
                 restart_interval = (body[0] << 8) | body[1]
             elif marker == 0xDA:                    # SOS
                 ns = body[0]
+                scan_comps = []
                 for c in range(ns):
                     cid, tda = body[1 + 2 * c], body[2 + 2 * c]
                     for comp in comps:
                         if comp["id"] == cid:
                             comp["td"], comp["ta"] = tda >> 4, tda & 15
-                return _decode_scan(d, nxt, h, w, comps, qt, huff,
-                                    restart_interval)
+                            scan_comps.append(comp)
+                if not progressive:
+                    return _decode_scan(d, nxt, h, w, comps, qt, huff,
+                                        restart_interval)
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                nxt = _decode_prog_scan(
+                    d, nxt, h, w, comps, scan_comps, huff,
+                    ss, se, ahal >> 4, ahal & 0x0F, restart_interval)
+                if nxt is None:
+                    return None
+                scans_seen += 1
             pos = nxt
     except (IndexError, ValueError, KeyError):
         return None
     return None
+
+
+def _init_prog_storage(h, w, comps):
+    """Per-component MCU-padded zigzag coefficient store, accumulated
+    across scans."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        # true (non-MCU-padded) block dims for non-interleaved scans
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["nbw"] = (cw + 7) // 8
+        c["nbh"] = (ch + 7) // 8
+    comps[0]["_mcus"] = (mcus_x, mcus_y)
+
+
+def _refine_nonzero(zz, k, p1, br):
+    """One correction bit for a history-nonzero coefficient
+    (T.81 G.1.2.3; bit test works on negatives via two's complement)."""
+    if br.read_bit() and (int(zz[k]) & p1) == 0:
+        zz[k] += p1 if zz[k] > 0 else -p1
+
+
+def _decode_prog_scan(d, pos, h, w, comps, scan_comps, huff,
+                      ss, se, ah, al, restart_interval):
+    """One progressive scan; returns the position of the next marker
+    (or None on corruption). DC scans may be interleaved over all
+    components; AC scans are single-component (T.81 G.1)."""
+    br = _BitReader(d, pos)
+    eobrun = 0
+    is_dc = ss == 0
+    if is_dc:
+        hmax = max(c["h"] for c in comps)
+        mcus_x, mcus_y = comps[0]["_mcus"]
+        if len(scan_comps) > 1:
+            units = mcus_x * mcus_y
+        else:
+            c = scan_comps[0]
+            units = c["nbw"] * c["nbh"]
+        for c in scan_comps:
+            c["pred"] = 0
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                if not br.restart():
+                    return None
+                for c in scan_comps:
+                    c["pred"] = 0
+            if len(scan_comps) > 1:
+                my, mx = divmod(m, mcus_x)
+                for c in scan_comps:
+                    dc_tbl = huff[(0, c["td"])] if ah == 0 else None
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            zz = c["zz"][row * c["bw"] + col]
+                            _dc_unit(zz, c, dc_tbl, br, ah, al)
+            else:
+                c = scan_comps[0]
+                dc_tbl = huff[(0, c["td"])] if ah == 0 else None
+                row, col = divmod(m, c["nbw"])
+                zz = c["zz"][row * c["bw"] + col]
+                _dc_unit(zz, c, dc_tbl, br, ah, al)
+    else:
+        if len(scan_comps) != 1:
+            return None
+        c = scan_comps[0]
+        ac_tbl = huff[(1, c["ta"])]
+        p1 = 1 << al
+        for m in range(c["nbw"] * c["nbh"]):
+            if restart_interval and m and m % restart_interval == 0:
+                if not br.restart():
+                    return None
+                eobrun = 0
+            row, col = divmod(m, c["nbw"])
+            zz = c["zz"][row * c["bw"] + col]
+            if ah == 0:
+                # --- AC first pass (G.1.2.2) ---
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode_symbol(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16              # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        return None
+                    zz[k] = _extend(br.receive(s), s) << al
+                    k += 1
+            else:
+                # --- AC refinement pass (G.1.2.3) ---
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.decode_symbol(ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history coeffs
+                        else:
+                            val = p1 if br.read_bit() else -p1
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_nonzero(zz, k, p1, br)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            _refine_nonzero(zz, k, p1, br)
+                        k += 1
+                    eobrun -= 1
+    # locate the next marker after this scan's entropy data (skip
+    # stuffed 0xFF00, restart markers, and 0xFF fill bytes)
+    p = br.pos
+    while p + 1 < len(d):
+        if d[p] != 0xFF:
+            p += 1
+            continue
+        nxt_b = d[p + 1]
+        if nxt_b == 0x00:
+            p += 2
+            continue
+        if 0xD0 <= nxt_b <= 0xD7:
+            p += 2
+            continue
+        if nxt_b == 0xFF:
+            p += 1
+            continue
+        return p
+    return None
+
+
+def _dc_unit(zz, c, dc_tbl, br, ah, al):
+    if ah == 0:                                    # DC first (G.1.2.1)
+        t = br.decode_symbol(dc_tbl)
+        diff = _extend(br.receive(t), t)
+        c["pred"] += diff
+        zz[0] = c["pred"] << al
+    else:                                          # DC refine (G.1.2.1)
+        zz[0] |= br.read_bit() << al
+
+
+def _finish_progressive(h, w, comps, qt):
+    """Accumulated zigzag coefficients → dequantize → IDCT → planes →
+    image (same finishing math as the baseline path)."""
+    if not comps or h == 0 or w == 0:
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        n = c["zz"].shape[0]
+        nat = np.zeros((n, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = c["zz"]
+        coef = nat.reshape(n, 8, 8) * qt[c["tq"]][np.newaxis, :, :]
+        px = np.einsum("ux,nuv,vy->nxy", _DCT_C, coef, _DCT_C)
+        px = np.clip(np.rint(px) + 128, 0, 255).astype(np.uint8)
+        plane = (px.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["bh"] * 8, c["bw"] * 8))
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+            hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        return None
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(d, pos, h, w, comps, qt, huff, restart_interval):
@@ -931,6 +1157,288 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     bw.pad()
     out.extend(bw.out)
     out.extend((0xFF, 0xD9))                           # EOI
+    return bytes(out)
+
+
+# flat 8-bit AC Huffman table for progressive scans: Annex K AC tables
+# lack the EOBn symbols (0x10..0xE0) progressive EOB runs need, so the
+# fixture encoder ships all 255 one-byte RS values at code length 8
+# (code 0xFF stays unused per convention)
+_HT_AC_FLAT = ([0] * 7 + [255] + [0] * 8, list(range(255)))
+
+
+def _comp_zz_blocks(plane, q, sh, sv, mcus_x, mcus_y):
+    """All quantized zigzag blocks of one component, MCU-padded, in
+    (row-major block) order: (n_blocks, 64) int64."""
+    ph, pw = mcus_y * sv * 8, mcus_x * sh * 8
+    pp = np.pad(plane.astype(np.float64),
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge")
+    bh, bw_ = ph // 8, pw // 8
+    blocks = (pp.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+              .reshape(bh * bw_, 8, 8) - 128.0)
+    # same matmul association as the baseline _encode_block
+    # ((C @ blk) @ C.T): einsum's different summation order flips
+    # rint() at exact-.5 boundaries, desyncing the two encoders by
+    # one quantization step on scattered coefficients
+    f = np.matmul(np.matmul(_DCT_C, blocks), _DCT_C.T)
+    zzq = np.rint(f / q[np.newaxis, :, :]).astype(np.int64)
+    # zigzag GET order matches the baseline _encode_block:
+    # zz[i] = natural[_ZIGZAG[i]]
+    return zzq.reshape(-1, 64)[:, _ZIGZAG], bh, bw_
+
+
+class _ProgACWriter:
+    """AC scan emitter with EOB-run + refinement-bit buffering
+    (T.81 G.1.2.2/G.1.2.3; same structure as the classic free
+    implementations of the spec)."""
+
+    def __init__(self, bw: _BitWriter, codes: dict):
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.bb: list[int] = []      # correction bits pending with EOB
+
+    def sym(self, rs: int) -> None:
+        c, ln = self.codes[rs]
+        self.bw.put(c, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            for b in self.bb:
+                self.bw.put(b, 1)
+            self.bb = []
+            self.eobrun = 0
+
+    def first_block(self, vals, ss, se, al) -> None:
+        band = [int(v) for v in vals[ss:se + 1]]
+        shifted = [(-((-v) >> al) if v < 0 else v >> al) for v in band]
+        if not any(shifted):
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        r = 0
+        for v in shifted:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                self.sym(0xF0)
+                r -= 16
+            s = abs(v).bit_length()
+            self.sym((r << 4) | s)
+            self.bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def refine_block(self, vals, ss, se, al) -> None:
+        band = [int(v) for v in vals[ss:se + 1]]
+        absv = [abs(v) >> al for v in band]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br_bits: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush_eobrun()
+                self.sym(0xF0)
+                r -= 16
+                for b in br_bits:
+                    self.bw.put(b, 1)
+                br_bits = []
+            if a > 1:
+                br_bits.append(a & 1)
+                continue
+            self.flush_eobrun()
+            self.sym((r << 4) | 1)
+            self.bw.put(1 if band[i] > 0 else 0, 1)
+            for b in br_bits:
+                self.bw.put(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            self.eobrun += 1
+            self.bb.extend(br_bits)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False,
+                            sa: bool = True) -> bytes:
+    """Progressive JPEG encoder (fixture builder for decode_jpeg's
+    SOF2 round-trip tests). Scan script: interleaved DC first
+    (+ DC refinement when ``sa``), then per-component spectral AC
+    bands 1-5 and 6-63 (at Al=1 with an Ah=1 refinement scan when
+    ``sa``, at Al=0 otherwise)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scaled_qtable(_QT_LUMA.reshape(8, 8), quality)
+    qc = _scaled_qtable(_QT_CHROMA.reshape(8, 8), quality)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend((0xFF, marker))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ([(0, qy)] if gray else [(0, qy), (1, qc)]):
+        zzt = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+        seg(0xDB, bytes([tq]) + zzt.tobytes())
+    if gray:
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+            [1, 1, 0x11, 0])
+    else:
+        sf = 0x22 if subsample else 0x11
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+            [3, 1, sf, 0, 2, 0x11, 1, 3, 0x11, 1])
+    seg(0xC2, sof)                                     # SOF2
+    tables = ([(0x00, _HT_DC_LUMA), (0x10, _HT_AC_FLAT)] if gray else
+              [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_FLAT),
+               (0x01, _HT_DC_CHROMA), (0x11, _HT_AC_FLAT)])
+    for tid, (bits, vals) in tables:
+        seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+
+    # component planes (same color path as the baseline encoder)
+    if gray:
+        planes = [(img, qy, 1, 1, 0)]
+    else:
+        rgb = img.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        y, cb, cr = (np.clip(np.rint(p), 0, 255).astype(np.uint8)
+                     for p in (y, cb, cr))
+        if subsample:
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            sub = []
+            for p in (cb, cr):
+                pad = np.pad(p.astype(np.float64),
+                             ((0, eh - h), (0, ew - w)), mode="edge")
+                box = (pad[0::2, 0::2] + pad[1::2, 0::2]
+                       + pad[0::2, 1::2] + pad[1::2, 1::2]) / 4.0
+                sub.append(np.clip(np.rint(box), 0, 255).astype(np.uint8))
+            cb, cr = sub
+        sfy = 2 if subsample else 1
+        planes = [(y, qy, sfy, sfy, 0), (cb, qc, 1, 1, 1),
+                  (cr, qc, 1, 1, 1)]
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for ci, (plane, q, sh, sv, tbl) in enumerate(planes):
+        zz, bh, bw_ = _comp_zz_blocks(plane, q, sh, sv, mcus_x, mcus_y)
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        comps.append({"cid": ci + 1, "zz": zz, "h": sh, "v": sv,
+                      "bw": bw_, "tbl": tbl,
+                      "nbw": (cw + 7) // 8, "nbh": (ch + 7) // 8})
+    dc_codes = [_huff_codes(*_HT_DC_LUMA), _huff_codes(*_HT_DC_CHROMA)]
+    ac_codes = _huff_codes(*_HT_AC_FLAT)
+    dc_al = 1 if sa else 0
+    ac_al = 1 if sa else 0
+
+    def sos(scomps, ss, se, ah, al):
+        body = bytes([len(scomps)])
+        for c in scomps:
+            body += bytes([c["cid"], (c["tbl"] << 4) | c["tbl"]])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    def scan_bits(emit):
+        bw = _BitWriter()
+        emit(bw)
+        bw.pad()
+        out.extend(bw.out)
+
+    # ---- scan 1: DC first, interleaved over all components ----
+    sos(comps, 0, 0, 0, dc_al)
+
+    def dc_first(bw):
+        preds = [0] * len(comps)
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for i, c in enumerate(comps):
+                codes = dc_codes[min(c["tbl"], 1)]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        v = int(c["zz"][row * c["bw"] + col, 0]) >> dc_al
+                        diff = v - preds[i]
+                        preds[i] = v
+                        t = abs(diff).bit_length()
+                        code, ln = codes[t]
+                        bw.put(code, ln)
+                        if t:
+                            bw.put(diff if diff >= 0
+                                   else diff + (1 << t) - 1, t)
+
+    scan_bits(dc_first)
+    if sa:
+        # ---- DC refinement: one raw bit per block, MCU order ----
+        sos(comps, 0, 0, 1, 0)
+
+        def dc_refine(bw):
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            bw.put(int(c["zz"][row * c["bw"] + col, 0])
+                                   & 1, 1)
+
+        scan_bits(dc_refine)
+    # ---- AC scans: spectral bands per component ----
+    for c in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            sos([c], ss, se, 0, ac_al)
+
+            def ac_first(bw, c=c, ss=ss, se=se):
+                wr = _ProgACWriter(bw, ac_codes)
+                for m in range(c["nbw"] * c["nbh"]):
+                    row, col = divmod(m, c["nbw"])
+                    wr.first_block(c["zz"][row * c["bw"] + col],
+                                   ss, se, ac_al)
+                wr.flush_eobrun()
+
+            scan_bits(ac_first)
+    if sa:
+        for c in comps:
+            sos([c], 1, 63, 1, 0)
+
+            def ac_refine(bw, c=c):
+                wr = _ProgACWriter(bw, ac_codes)
+                for m in range(c["nbw"] * c["nbh"]):
+                    row, col = divmod(m, c["nbw"])
+                    wr.refine_block(c["zz"][row * c["bw"] + col],
+                                    1, 63, 0)
+                wr.flush_eobrun()
+
+            scan_bits(ac_refine)
+    out.extend((0xFF, 0xD9))
     return bytes(out)
 
 

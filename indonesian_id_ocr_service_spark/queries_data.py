@@ -489,14 +489,21 @@ def q_media_quality(spark, sf_dir):
                                        blur_k=7)
                 else:
                     img = I.synth_card(bg=115 + i % 11, n_stripes=8)
-                # container regime: flat cards alternate between the
-                # IMG1 wire format and a REAL baseline JPEG (quality
-                # 100 → all-ones tables → a constant image is DC-only
-                # and round-trips bit-exactly, so the closed-form
-                # flat_mean oracle still holds on the decoded pixels)
-                if m <= 2 and (i // 8) % 2 == 1:
+                # container regime: flat cards rotate between the IMG1
+                # wire format, a REAL baseline JPEG, and a REAL
+                # progressive JPEG (SOF2 — spectral selection + DC/AC
+                # successive approximation). Quality 100 → all-ones
+                # tables → a constant image is DC-only and round-trips
+                # bit-exactly in BOTH JPEG processes, so the
+                # closed-form flat_mean oracle still holds on the
+                # decoded pixels.
+                r3 = (i // 8) % 3
+                if m <= 2 and r3 == 1:
                     fmt = "jpeg"
                     payload = I.encode_jpeg(img, quality=100)
+                elif m <= 2 and r3 == 2:
+                    fmt = "jpeg_prog"
+                    payload = I.encode_jpeg_progressive(img, quality=100)
                 else:
                     fmt = "img1"
                     payload = I.encode_img1(img)
@@ -815,7 +822,9 @@ FROM documents ORDER BY doc_id
 
 SQL_MEDIA_QUALITY = """
 SELECT doc_id,
-       CASE WHEN doc_id % 8 <= 2 AND (doc_id // 8) % 2 = 1 THEN 'jpeg'
+       CASE WHEN doc_id % 8 <= 2 AND (doc_id // 8) % 3 = 1 THEN 'jpeg'
+            WHEN doc_id % 8 <= 2 AND (doc_id // 8) % 3 = 2
+                 THEN 'jpeg_prog'
             ELSE 'img1' END AS fmt,
        64 AS h, 96 AS w,
        doc_id % 8 <= 4 AS is_blurry,

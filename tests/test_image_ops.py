@@ -494,3 +494,77 @@ def test_jpeg_truncation_never_crashes(cut, seed):
     j = I.encode_jpeg(img, quality=90)
     out = I.decode_jpeg(j[:max(0, len(j) - cut)])
     assert out is None or isinstance(out, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# decode the SAME quantized coefficients as the baseline path, so the
+# two decodes must agree bit-for-bit on identically-encoded images.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.sampled_from([100, 90, 60]),
+    sa=st.booleans(),
+)
+def test_progressive_gray_matches_baseline(h, w, seed, quality, sa):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+    dec_p = I.decode_jpeg(
+        I.encode_jpeg_progressive(img, quality=quality, sa=sa))
+    dec_b = I.decode_jpeg(I.encode_jpeg(img, quality=quality))
+    assert dec_p is not None and dec_b is not None
+    assert np.array_equal(dec_p, dec_b)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+    sa=st.booleans(),
+)
+def test_progressive_color_matches_baseline(h, w, seed, subsample, sa):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3),
+                                              np.uint8)
+    dec_p = I.decode_jpeg(I.encode_jpeg_progressive(
+        img, quality=85, subsample=subsample, sa=sa))
+    dec_b = I.decode_jpeg(I.encode_jpeg(img, quality=85,
+                                        subsample=subsample))
+    assert dec_p is not None and dec_b is not None
+    assert np.array_equal(dec_p, dec_b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_progressive_marker_payloads_never_crash(data):
+    # arbitrary bytes around an SOF2 marker: decode must reject or
+    # return a valid array, never raise (VERDICT r4 task #5)
+    for payload in (b"\xff\xd8\xff\xc2" + data,
+                    b"\xff\xd8" + data + b"\xff\xc2" + data):
+        out = I.decode_jpeg(payload)
+        assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=400),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_progressive_truncation_never_crashes(cut, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (16, 16), np.uint8)
+    j = I.encode_jpeg_progressive(img, quality=90)
+    out = I.decode_jpeg(j[:max(0, len(j) - cut)])
+    assert out is None or isinstance(out, np.ndarray)
+
+
+def test_progressive_via_decode_any():
+    img = I.synth_card(bg=120, n_stripes=6)
+    payload = I.encode_jpeg_progressive(img, quality=100)
+    dec = I.decode_any(payload)
+    assert dec is not None
+    assert np.array_equal(dec, I.decode_jpeg(payload))

@@ -219,3 +219,49 @@ class ExtractionRun:
          .partitionBy("log_month", "run_id")
          .parquet(self.metrics_dir))
         return log_month
+
+
+class StreamingExtractionRun(ExtractionRun):
+    """The bucket commit-log contract lifted onto Structured Streaming
+    (VERDICT r4 task #7): the commit unit is the MICRO-BATCH id instead
+    of the doc bucket, because a doc bucket is never 'complete' while
+    files keep arriving.
+
+    ``foreachBatch`` re-delivers a batch after a crash (its own sink
+    commit is not transactional with the checkpoint); idempotency
+    comes from the same lineage log — a replayed batch_id whose commit
+    row exists is skipped, a replayed batch_id whose write died before
+    the commit row overwrites its own ``batch=N`` directory. Exactly
+    the per-bucket semantics of the batch path, so a consumer reading
+    ``results_dir`` sees each document exactly once whether it arrived
+    via `process` or the stream."""
+
+    def process_stream_batch(self, batch_df: DataFrame, batch_id: int,
+                             pipeline_fn, metrics_fn=None,
+                             log_month: str | None = None) -> dict:
+        if batch_id in self.committed_buckets():
+            return {"batch_id": batch_id, "skipped": True, "rows": 0}
+        started = time.time()
+        import shutil
+
+        out_dir = os.path.join(self.results_dir, f"batch={batch_id}")
+        shutil.rmtree(out_dir, ignore_errors=True)   # dead replay's partials
+        out = pipeline_fn(batch_df)
+        out.write.mode("overwrite").parquet(out_dir)
+        spark = batch_df.sparkSession
+        rows = spark.read.parquet(out_dir).count()
+        if metrics_fn is not None:
+            self.write_metrics(
+                metrics_fn(spark.read.parquet(out_dir)),
+                log_month=log_month)
+        self._append_lineage(batch_id, "committed", rows, started)
+        return {"batch_id": batch_id, "skipped": False, "rows": rows}
+
+    def foreach_batch(self, pipeline_fn, metrics_fn=None,
+                      log_month: str | None = None):
+        """The callable to hand to ``writeStream.foreachBatch``."""
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_stream_batch(batch_df, int(batch_id),
+                                      pipeline_fn, metrics_fn,
+                                      log_month=log_month)
+        return fn

@@ -102,3 +102,27 @@ def streaming_dedup(docs: DataFrame,
         fp.withWatermark(event_time_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def start_extraction_stream_committed(spark: SparkSession, src_path: str,
+                                      run, checkpoint: str,
+                                      metrics_fn=None,
+                                      log_month: str | None = None,
+                                      available_now: bool = True,
+                                      max_files_per_trigger: int = 8):
+    """Streaming extraction through the bucket commit-log contract
+    (sinks.lineage.StreamingExtractionRun): each micro-batch commits
+    results (+ optional metrics) exactly once via the lineage log, so
+    the stream inherits the batch path's resume semantics instead of
+    relying on sink checkpointing alone."""
+    stream = read_span_stream(spark, src_path,
+                              max_files_per_trigger=max_files_per_trigger)
+    writer = (
+        stream.writeStream
+        .foreachBatch(run.foreach_batch(run_pipeline, metrics_fn,
+                                        log_month=log_month))
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

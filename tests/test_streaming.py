@@ -197,3 +197,74 @@ def test_streaming_dedup_evicts_state(spark, tmp_path):
     # state bounded: at least one within-horizon dedup happened, and
     # nothing beyond the input count survived
     assert 10 <= len(got) <= 30
+
+
+def test_streaming_exactly_once_commit_log(spark, tmp_path):
+    """Streaming extraction through the bucket commit-log contract
+    (StreamingExtractionRun): survivors identical to the batch
+    pipeline, replays idempotent, crashed partials overwritten,
+    checkpoint restart a no-op."""
+    from indonesian_id_ocr_service_spark.corpus.generator import corpus_df
+    from indonesian_id_ocr_service_spark.pipeline import run_pipeline
+    from indonesian_id_ocr_service_spark.sinks.lineage import (
+        StreamingExtractionRun,
+    )
+    from indonesian_id_ocr_service_spark.streaming.pipeline import (
+        start_extraction_stream_committed,
+    )
+
+    src = str(tmp_path / "scorpus")
+    corpus = corpus_df(spark, 40).cache()
+    corpus.repartition(3).write.parquet(src)
+
+    run = StreamingExtractionRun(str(tmp_path / "srun"), "s1")
+    ckpt = str(tmp_path / "sckpt")
+    q = start_extraction_stream_committed(spark, src, run, ckpt,
+                                          max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    import glob
+    import json
+
+    batch_dirs = sorted(glob.glob(run.results_dir + "/batch=*"))
+    assert len(batch_dirs) >= 2          # 3 files, 1 file per trigger
+    with open(run.lineage_path) as f:
+        recs = [json.loads(ln) for ln in f]
+    committed = {r["bucket"] for r in recs if r["status"] == "committed"}
+    assert len(committed) == len(batch_dirs)
+
+    def spans_by_doc(df):
+        return {r["doc_id"]: [tuple(s) for s in r["out_spans"]]
+                for r in df.collect()}
+
+    got = spans_by_doc(spark.read.parquet(run.results_dir + "/batch=*"))
+    want = spans_by_doc(run_pipeline(corpus))
+    assert got == want                   # batch/stream span equality
+
+    # replay of a committed batch id is skipped (foreachBatch redelivery)
+    replay_id = min(committed)
+    stats = run.process_stream_batch(corpus.limit(5), replay_id,
+                                     run_pipeline)
+    assert stats["skipped"] is True
+    assert spans_by_doc(
+        spark.read.parquet(run.results_dir + "/batch=*")) == want
+
+    # crashed write (partials, no commit row) → replay overwrites
+    import os
+    crash_dir = os.path.join(run.results_dir, "batch=99")
+    os.makedirs(crash_dir, exist_ok=True)
+    with open(os.path.join(crash_dir, "junk.parquet"), "w") as f:
+        f.write("partial")
+    extra = corpus.limit(3)
+    stats = run.process_stream_batch(extra, 99, run_pipeline)
+    assert stats["skipped"] is False and stats["rows"] == 3
+    stats = run.process_stream_batch(extra, 99, run_pipeline)
+    assert stats["skipped"] is True      # now committed
+
+    # checkpoint restart: no files left to process, outputs unchanged
+    n_before = spark.read.parquet(run.results_dir + "/batch=*").count()
+    q2 = start_extraction_stream_committed(spark, src, run, ckpt,
+                                           max_files_per_trigger=1)
+    q2.awaitTermination(600)
+    assert spark.read.parquet(
+        run.results_dir + "/batch=*").count() == n_before

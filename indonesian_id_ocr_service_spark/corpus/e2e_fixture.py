@@ -9,7 +9,12 @@ DuckDB oracle can compute closed-form:
 ==== ========================================= =========================
 cls  corruption (what the raw doc looks like)  tier that must repair it
 ==== ========================================= =========================
-0    clean, inline ``Label : value`` lines     straight-through parse
+0    clean, inline ``Label : value`` lines     straight-through parse;
+     (sub-variant, i//8 odd: the main view is  sub-variant: C3 UNKNOWN
+     non-ID garbage and the clean card is the  retry — reclassify and
+     ALTERNATIVE OCR view)                     extract from the re-OCR
+                                               pass, same expected
+                                               output spans
 1    key and value as SEPARATE spans           K2 key/value classify +
      (same y, value at x≈260) + a same-line    K5 same-line geometric
      ``Gol. Darah`` distractor                 match (greedy claiming)
@@ -175,23 +180,43 @@ _C4_LABEL = {
 
 
 def ktp_raw_doc(i: int):
-    """Raw spans + geometry for doc ``i``: (spans, geom) lists in the
-    corpus span contract. Layout mirrors the printed-card geometry the
-    spatial operators expect (labels at x0=20, values at x0=260, lines
-    30px apart)."""
+    """Raw spans + geometry (+ optional alternative OCR view) for doc
+    ``i``: (spans, geom, spans_alt, alt_geom) in the corpus span
+    contract. Layout mirrors the printed-card geometry the spatial
+    operators expect (labels at x0=20, values at x0=260, lines 30px
+    apart).
+
+    Class-0 sub-variant (i//8 odd): the MAIN view is non-ID garbage
+    (classifies UNKNOWN) and the clean card lives in the ALTERNATIVE
+    view — the C3 UNKNOWN-retry reclassifies from the re-OCR pass
+    (document_processor.py:279-287) and must produce the same spans as
+    a plain clean class-0 doc, so the oracle is unchanged."""
     t = ktp_truth(i)
     cls = t["cls"]
     spans: list = []
     geom: list = []
+    alt_spans: list = []
+    alt_geom: list = []
+    target = [spans, geom]
 
     def add(text: str, y: int, x0: int) -> None:
-        spans.append(("text", text, "", len(spans)))
-        geom.append((y, x0, x0 + 9 * max(len(text), 1), 22))
+        s, g = target
+        s.append(("text", text, "", len(s)))
+        g.append((y, x0, x0 + 9 * max(len(text), 1), 22))
 
     def add_media(tag: str, y: int) -> None:
-        spans.append(("media", "", f"media://{i}/{tag}/{len(spans)}",
-                      len(spans)))
-        geom.append((y, 820, 980, 160))
+        s, g = target
+        s.append(("media", "", f"media://{i}/{tag}/{len(s)}", len(s)))
+        g.append((y, 820, 980, 160))
+
+    c3_retry = cls == 0 and (i // 8) % 2 == 1
+    if c3_retry:
+        # garbage main view: no ID keywords, no 16-digit run, no
+        # numbered-section pattern -> C1 scores 0/0 -> UNKNOWN
+        add("warung makan sederhana", 10, 20)
+        add("terima kasih atas kunjungan anda", 40, 20)
+        add("total belanja empat item", 70, 20)
+        target[0], target[1] = alt_spans, alt_geom
 
     def label(canonical: str) -> str:
         if cls == 4:
@@ -259,7 +284,7 @@ def ktp_raw_doc(i: int):
     emit("Kewarganegaraan", wni_print, y)
     y += 30
     emit("Berlaku Hingga", "SEUMUR HIDUP", y)
-    return spans, geom
+    return spans, geom, alt_spans or None, alt_geom or None
 
 
 def ktp_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,15 +301,16 @@ def ktp_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                spans, geom = ktp_raw_doc(i)
+                spans, geom, alt, altg = ktp_raw_doc(i)
                 # doc_id as string: the corpus span contract
                 # (BASELINE input_hint / SPAN_SCHEMA_DDL)
-                rows.append((str(i), spans, geom))
-            yield pd.DataFrame(rows, columns=["doc_id", "spans",
-                                              "span_geom"])
+                rows.append((str(i), spans, geom, alt, altg))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "spans", "span_geom", "spans_alt", "alt_geom"])
 
     return ids.mapInPandas(
-        gen, f"doc_id string, spans {SPAN_DDL}, span_geom {GEOM_DDL}")
+        gen, f"doc_id string, spans {SPAN_DDL}, span_geom {GEOM_DDL}, "
+             f"spans_alt {SPAN_DDL}, alt_geom {GEOM_DDL}")
 
 
 # --- DuckDB oracle: the same closed forms as SQL --------------------------
@@ -403,8 +429,11 @@ WITH t AS (
 #                                               merge is a no-op)
 # 1    legacy numbered layout (1. … 6.),        M5-M8 legacy section
 #      single view                              state machine, M12
-#                                               address block parser,
-#                                               M13 region detector
+#      (sub-variant, i//4 odd: the RT/RW        address block parser,
+#      line prints '/' as '1' — RT 02103)       M13 region detector;
+#                                               sub-variant: M11
+#                                               split_rtrw_ocr recovery
+#                                               to the same 02/03 form
 # 2    legacy std view with name+address        C6 completeness gate:
 #      lines LOST + full alt view               re-pass wins, std
 #                                               back-fills (document_
@@ -450,6 +479,9 @@ def sim_truth(i: int) -> dict:
         "job": JOB[i % 5],
         "goldar": GOLDAR[i % 4],
         "jk": "PRIA" if male else "WANITA",
+        # cls-1 sub-variant (i//4 odd): the legacy RT/RW line prints
+        # the '/' as a '1' -- M11 recovery, same expected rt_rw
+        "m11": cls == 1 and (i // 4) % 2 == 1,
     }
 
 
@@ -487,8 +519,14 @@ def _sim_layout(t: dict, add, add_media, legacy: bool,
         add(f"3. {t['goldar']} - {t['jk']}", y, 30); y += 28
         if "addr" not in drop:
             add(f"4. {t['street']}", y, 30); y += 26
-            add(f"RT {t['rt']:02d} RW {t['rw']:02d} {t['village']}",
-                y, 40); y += 26
+            if t.get("m11"):
+                # '/' misread as '1': RT 02103 -> split_rtrw_ocr must
+                # recover 02/03 (sim_extractor.py:106-153)
+                add(f"RT {t['rt']:02d}1{t['rw']:02d} {t['village']}",
+                    y, 40); y += 26
+            else:
+                add(f"RT {t['rt']:02d} RW {t['rw']:02d} {t['village']}",
+                    y, 40); y += 26
             add(f"KEC. {t['kec']} KOTA {t['kab']}", y, 40); y += 28
         add(f"5. {t['job']}", y, 30); y += 28
         add(f"6. {t['kab']}", y, 30); y += 28

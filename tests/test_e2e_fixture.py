@@ -73,11 +73,17 @@ def test_sim_sql_matches_truth(con):
 
 def test_raw_docs_deterministic_and_well_formed():
     for i in range(N):
-        spans, geom = ktp_raw_doc(i)
+        spans, geom, kalt, kaltg = ktp_raw_doc(i)
         assert spans == ktp_raw_doc(i)[0]
         assert len(spans) == len(geom)
         # offsets are dense and ordered (the corpus span contract)
         assert [s[3] for s in spans] == list(range(len(spans)))
+        # C3 sub-variant: garbage main + clean card in the alt view
+        if i % 8 == 0 and (i // 8) % 2 == 1:
+            assert kalt is not None and len(kalt) > len(spans)
+            assert not any("NIK" in s[1] for s in spans)
+        else:
+            assert kalt is None
 
         s2, g2, alt, altg = sim_raw_doc(i)
         assert len(s2) == len(g2)

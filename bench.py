@@ -86,7 +86,7 @@ HISTORY_BEST: dict[str, float] = {
     "media_quality": 1.3, "media_geometry": 4.5, "video_frames": 1.5,
     "html_main_content": 1.1, "pdf_text": 1.1, "audio_features": 1.5,
     "embedding_norms": 0.4,
-    "ktp_extraction_e2e": 6.0, "sim_extraction_e2e": 3.0,
+    "ktp_extraction_e2e": 4.0, "sim_extraction_e2e": 2.8,
 }
 
 

@@ -59,6 +59,12 @@ cls  corruption (what the raw doc looks like)  tier that must repair it
                                                DOB window as a no-op
 ==== ========================================= =========================
 
+Classes 1, 5 and 6 additionally carry i//8-odd LAYOUT sub-variants
+(oracle unchanged — the repaired output must equal the base class):
+split two-line Alamat → K6 multiline merge; missing ``Nama`` label →
+K10 positional inference; missing ``Agama`` label → K8 value-keyword
+recovery. See ``ktp_raw_doc``.
+
 Fixture values are chosen to stay out of the key-classifier's fuzzy
 blast radius: a bare value span ``KAWIN`` would itself classify as a
 *key* for Status Perkawinan (partial_ratio 100 inside "PERKAWINAN" —
@@ -190,9 +196,28 @@ def ktp_raw_doc(i: int):
     (classifies UNKNOWN) and the clean card lives in the ALTERNATIVE
     view — the C3 UNKNOWN-retry reclassifies from the re-OCR pass
     (document_processor.py:279-287) and must produce the same spans as
-    a plain clean class-0 doc, so the oracle is unchanged."""
+    a plain clean class-0 doc, so the oracle is unchanged.
+
+    Three more i//8-odd sub-variants corrupt the LAYOUT only, so the
+    repaired output — and therefore the oracle SQL — is byte-identical
+    to the base class (the tier must fire or the hash gate fails):
+
+    * cls 1: the Alamat value is split across TWO lines ("JL. MERDEKA"
+      / "NO. 5", 22 px apart) and the RT/RW line drops to +60 so the
+      continuation falls inside K6's second-line window (l1+10 <
+      vy < rt_y-10, vy-l1 < 45) — geometric_match_multiline must
+      re-join exactly ``street`` (ktp_extractor.py:389-412).
+    * cls 5: the ``Nama`` line is gone; the bare name sits between the
+      NIK key and the TTL key, where K10 positional inference (the
+      only remaining unclaimed span in that y-band — K7 has already
+      claimed the below-line NIK digits) recovers it
+      (ktp_extractor.py:437-460).
+    * cls 6: the ``Agama`` line is gone; the bare canonical religion
+      value is recovered by K8 value-keyword search against
+      KNOWN_VALUES (token_set_ratio > 85, ktp_extractor.py:416-433)."""
     t = ktp_truth(i)
     cls = t["cls"]
+    sub = (i // 8) % 2 == 1
     spans: list = []
     geom: list = []
     alt_spans: list = []
@@ -209,7 +234,7 @@ def ktp_raw_doc(i: int):
         s.append(("media", "", f"media://{i}/{tag}/{len(s)}", len(s)))
         g.append((y, 820, 980, 160))
 
-    c3_retry = cls == 0 and (i // 8) % 2 == 1
+    c3_retry = cls == 0 and sub
     if c3_retry:
         # garbage main view: no ID keywords, no 16-digit run, no
         # numbered-section pattern -> C1 scores 0/0 -> UNKNOWN
@@ -254,7 +279,10 @@ def ktp_raw_doc(i: int):
     else:
         emit("NIK", nik_print, y)
     y += 30
-    emit("Nama", t["nama"], y)
+    if cls == 5 and sub:
+        add(t["nama"], y, 20)
+    else:
+        emit("Nama", t["nama"], y)
     y += 30
     emit("Tempat/Tgl Lahir", f"{t['birth_place']}, {date_print}", y)
     y += 30
@@ -264,7 +292,14 @@ def ktp_raw_doc(i: int):
         add("Gol. Darah", y, 600)
         add("O", y, 760)
     y += 30
-    emit("Alamat", t["street"], y)
+    if cls == 1 and sub:
+        add(label("Alamat"), y, 20)
+        line1, no_part = t["street"].rsplit(" NO. ", 1)
+        add(line1, y, 260)
+        add(f"NO. {no_part}", y + 22, 260)
+        y += 30
+    else:
+        emit("Alamat", t["street"], y)
     y += 30
     emit("RT/RW", t["rtrw"], y)
     y += 30
@@ -272,7 +307,10 @@ def ktp_raw_doc(i: int):
     y += 30
     emit("Kecamatan", t["kec"], y)
     y += 30
-    emit("Agama", t["agama"], y)
+    if cls == 6 and sub:
+        add(t["agama"], y, 20)
+    else:
+        emit("Agama", t["agama"], y)
     y += 30
     status_print = "CEL UM KAWIN" if cls == 6 else t["status"]
     emit("Status Perkawinan", status_print, y)

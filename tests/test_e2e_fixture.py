@@ -96,6 +96,43 @@ def test_raw_docs_deterministic_and_well_formed():
                 f"2. {sim_truth(i)['birth_place']}", "")
 
 
+def test_layout_subvariants_fire_their_tier():
+    """The i//8-odd layout sub-variants of classes 1/5/6 must be
+    repaired by K6/K10/K8 specifically (method provenance), and the
+    repaired value must equal the base-class canon — which is why the
+    oracle SQL needs no sub-variant term."""
+    import numpy as np
+
+    from indonesian_id_ocr_service_spark.operators.ktp_spatial import (
+        _extract_one_doc,
+    )
+
+    want = {
+        1: ("Alamat", "street", "geometric_match_multiline"),
+        5: ("Nama", "nama", "positional_inference_name"),
+        6: ("Agama", "agama", "value_keyword_recovery"),
+    }
+    seen = set()
+    for i in range(200):
+        cls, sub = i % 8, (i // 8) % 2 == 1
+        if not sub or cls not in want:
+            continue
+        spans, geom, _, _ = ktp_raw_doc(i)
+        texts = [s[1] for s in spans if s[0] == "text"]
+        g = [geom[j] for j, s in enumerate(spans) if s[0] == "text"]
+        y0 = np.array([r[0] for r in g], float)
+        x0 = np.array([r[1] for r in g], float)
+        x1 = np.array([r[2] for r in g], float)
+        y1 = y0 + np.array([r[3] for r in g], float)
+        meth: dict = {}
+        out = _extract_one_doc(texts, y0, y1, x0, x1, methods_out=meth)
+        field, truth_key, method = want[cls]
+        assert out[field] == ktp_truth(i)[truth_key], (i, out.get(field))
+        assert meth[field] == method, (i, meth.get(field))
+        seen.add(cls)
+    assert seen == {1, 5, 6}
+
+
 def test_class7_seq_floor():
     # the class-7 closed form relies on seq >= 10 (rpad keeps the seq
     # block non-zero -> structural 1.0 for the longest-run candidate)

@@ -520,6 +520,15 @@ def sim_truth(i: int) -> dict:
         # cls-1 sub-variant (i//4 odd): the legacy RT/RW line prints
         # the '/' as a '1' -- M11 recovery, same expected rt_rw
         "m11": cls == 1 and (i // 4) % 2 == 1,
+        # cls-1 layout sub-variants, oracle unchanged (independent
+        # parity bits, so all four M11/M3/M4 combinations occur):
+        # m4: a license-class garbage row after the job line -- the M4
+        #     filter must drop it (sim_extractor.py:325-346);
+        # m3: the job line loses its '5.' prefix -- the M3 occupation
+        #     detector must bump the section walk to 5
+        #     (sim_extractor.py:264-288, :294).
+        "m4": cls == 1 and (i // 8) % 2 == 1,
+        "m3": cls == 1 and (i // 16) % 2 == 1,
     }
 
 
@@ -566,7 +575,14 @@ def _sim_layout(t: dict, add, add_media, legacy: bool,
                 add(f"RT {t['rt']:02d} RW {t['rw']:02d} {t['village']}",
                     y, 40); y += 26
             add(f"KEC. {t['kec']} KOTA {t['kab']}", y, 40); y += 28
-        add(f"5. {t['job']}", y, 30); y += 28
+        if t.get("m3"):
+            # bare occupation row: M3 is_job() must advance the walk
+            add(t["job"], y, 30); y += 28
+        else:
+            add(f"5. {t['job']}", y, 30); y += 28
+        if t.get("m4"):
+            # license-class table bleed: M4 must filter it out
+            add("SEPEDA MOTOR RODA DUA", y, 30); y += 26
         add(f"6. {t['kab']}", y, 30); y += 28
     else:
         add("Nama", y, 30); y += 26

@@ -133,6 +133,35 @@ def test_layout_subvariants_fire_their_tier():
     assert seen == {1, 5, 6}
 
 
+def test_sim_m3_m4_subvariants():
+    """cls-1 layout sub-variants: a license-class garbage row must be
+    dropped by M4 and a prefix-less job row must be recovered by the M3
+    section bump — output identical to the base class (so the oracle
+    SQL has no sub-variant term). All 8 M11×M3×M4 combos covered."""
+    from indonesian_id_ocr_service_spark.operators.sim_core import (
+        process_sim_doc,
+    )
+
+    combos = set()
+    for i in range(256):
+        t = sim_truth(i)
+        if t["cls"] != 1:
+            continue
+        combos.add((t["m11"], t["m3"], t["m4"]))
+        spans, geom, _, _ = sim_raw_doc(i)
+        texts = [s[1] for s in spans if s[0] == "text"]
+        items = [{"text": s[1], "x0": g[1], "h": g[3],
+                  "y_center": (2 * g[0] + g[3]) / 2}
+                 for s, g in zip(spans, geom) if s[0] == "text"]
+        out = process_sim_doc(texts, items)
+        assert out["pekerjaan"] == t["job"], (i, out)
+        assert not any("SEPEDA" in str(v) for v in out.values()), (i, out)
+        assert out["nama"] == t["name"]
+        assert out["alamat.name"] == t["street"]
+        assert out["alamat.rt_rw"] == f"{t['rt']:02d}/{t['rw']:02d}"
+    assert len(combos) == 8
+
+
 def test_class7_seq_floor():
     # the class-7 closed form relies on seq >= 10 (rpad keeps the seq
     # block non-zero -> structural 1.0 for the longest-run candidate)

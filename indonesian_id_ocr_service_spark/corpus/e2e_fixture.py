@@ -63,7 +63,9 @@ Classes 1, 5 and 6 additionally carry i//8-odd LAYOUT sub-variants
 (oracle unchanged — the repaired output must equal the base class):
 split two-line Alamat → K6 multiline merge; missing ``Nama`` label →
 K10 positional inference; missing ``Agama`` label → K8 value-keyword
-recovery. See ``ktp_raw_doc``.
+recovery. Class 0 carries an i//16-odd sub-variant printing a gender
+that CONTRADICTS the NIK encoding — the V2-V3 NIK-authoritative
+crossval must overwrite it. See ``ktp_raw_doc``.
 
 Fixture values are chosen to stay out of the key-classifier's fuzzy
 blast radius: a bare value span ``KAWIN`` would itself classify as a
@@ -286,7 +288,15 @@ def ktp_raw_doc(i: int):
     y += 30
     emit("Tempat/Tgl Lahir", f"{t['birth_place']}, {date_print}", y)
     y += 30
-    emit("Jenis Kelamin", t["gender"], y)
+    gender_print = t["gender"]
+    if cls == 0 and (i // 16) % 2 == 1:
+        # printed gender contradicts the NIK encoding: V2-V3 crossval
+        # (NIK authoritative, nik_cross_validator.py:107-131) must
+        # overwrite it with the decoded gender = the canon the oracle
+        # expects. Composes with the C3 sub-variant (i//8 parity).
+        gender_print = ("LAKI-LAKI" if t["gender"] == "PEREMPUAN"
+                        else "PEREMPUAN")
+    emit("Jenis Kelamin", gender_print, y)
     if cls == 1:
         # same-line distractor the geometric matcher must NOT claim
         add("Gol. Darah", y, 600)

@@ -162,6 +162,29 @@ def test_sim_m3_m4_subvariants():
     assert len(combos) == 8
 
 
+def test_gender_flip_subvariant_prints_contradiction():
+    """cls-0 i//16-odd docs print the OPPOSITE gender of the NIK
+    encoding; the oracle still expects the canon, so the hash gate
+    passes only if V2-V3 crossval overwrites the printed value."""
+    flipped = 0
+    for i in range(128):
+        t = ktp_truth(i)
+        if t["cls"] in (1, 4):    # split spans / garbled labels
+            continue
+        spans, _, alt, _ = ktp_raw_doc(i)
+        view = alt if alt else spans
+        line = next(s[1] for s in view
+                    if s[0] == "text" and "Jenis Kelamin" in s[1])
+        if t["cls"] == 0 and (i // 16) % 2 == 1:
+            assert t["gender"] not in line
+            assert ("PEREMPUAN" if t["gender"] == "LAKI-LAKI"
+                    else "LAKI-LAKI") in line
+            flipped += 1
+        else:
+            assert t["gender"] in line
+    assert flipped >= 4
+
+
 def test_class7_seq_floor():
     # the class-7 closed form relies on seq >= 10 (rpad keeps the seq
     # block non-zero -> structural 1.0 for the longest-run candidate)

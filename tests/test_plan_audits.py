@@ -32,6 +32,21 @@ def test_extraction_path_is_shuffle_free(spark):
     assert audit.count_exchanges(out) == 0, audit.simple_plan(out)[:2000]
 
 
+def test_e2e_query_single_intentional_exchange(spark):
+    """The e2e oracle query is: ids scan → mapInPandas fixture build →
+    ONE hash repartition on doc_id (test-scale parallelism; at 100 TB
+    the file splits provide it) → the zero-shuffle extraction chain →
+    explode. Anything beyond that one Exchange means the pipeline grew
+    a shuffle."""
+    from indonesian_id_ocr_service_spark import queries_e2e as QE
+
+    for q in (QE.q_ktp_extraction_e2e, QE.q_sim_extraction_e2e):
+        df = q(spark, SF)
+        plan = audit.simple_plan(df)
+        assert audit.count_exchanges(df) == 1, plan[:2000]
+        assert "hashpartitioning(doc_id" in plan, plan[:2000]
+
+
 def test_dim_join_broadcasts(spark):
     df = Q.q_broadcast_dim_join(spark, SF)
     assert audit.has_broadcast_join(df)

@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtrw_normalize": Q.q_rtrw,
         "status_layers": Q.q_status_layers,
         "kabupaten_clean": Q.q_kabupaten_clean,
+        "fuzzy_canonical": Q.q_fuzzy_canonical,
+        "enum_place_correction": Q.q_enum_place_correction,
         # §2.3 classification
         "doc_type": Q.q_doc_type,
         # flagship extraction end-to-end (K/N/V series + span assembly
@@ -130,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "rtrw_normalize": Q.SQL_RTRW,
         "status_layers": Q.SQL_STATUS_LAYERS,
         "kabupaten_clean": Q.SQL_KABUPATEN_CLEAN,
+        "fuzzy_canonical": Q.SQL_FUZZY_CANONICAL,
+        "enum_place_correction": Q.SQL_ENUM_PLACE_CORRECTION,
         "doc_type": Q.SQL_DOC_TYPE,
         "ktp_extraction_e2e": QE.SQL_KTP_EXTRACTION_E2E,
         "sim_extraction_e2e": QE.SQL_SIM_EXTRACTION_E2E,

@@ -942,3 +942,204 @@ SELECT o_orderpriority,
        TRUE AS approx_ok
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# N25 fuzzy canonicalization + Agama WRatio tier (oracle-gated)
+# ---------------------------------------------------------------------------
+#
+# The fuzzy tiers (token_set_ratio / WRatio scorers over the canonical
+# alias maps; ktp_extractor.py:68-102,623-627) are not SQL-expressible,
+# so the oracle uses the media_geometry fixture pattern: deterministic
+# noisy inputs chosen by construction, with the expected canonical
+# output pinned as a literal next to each input. The Spark side runs
+# the REAL production Arrow-batched UDFs (functions/pandas_tiers.py);
+# the oracle replays only the pinned literals — if the production
+# scorer drifts, the driver's value-hash gate fails.
+#
+# Each case is (field, raw_input, expected_canonical); the expected
+# values were derived from the tier semantics at authoring time and
+# are cross-checked against the independent pure-Python twin by
+# tests/test_scalar_parity.py.
+
+_FUZZY_CANON_CASES: list[tuple[str, str, str]] = [
+    # pekerjaan — threshold 72 (exact-alias tier then token_set_ratio)
+    ("pekerjaan", "WIRASWASTA", "WIRASWASTA"),
+    ("pekerjaan", "WIRA SWASTA", "SWASTA"),
+    ("pekerjaan", "PE TANI", "PETANI"),
+    ("pekerjaan", "KARY. SWASTA", "KARYAWAN SWASTA"),
+    ("pekerjaan", "DURUH HARIAN", "BURUH HARIAN LEPAS"),
+    ("pekerjaan", "MENGURUS RUMAH TANGGA", "IBU RUMAH TANGGA"),
+    ("pekerjaan", "PELAJARMAHASISWA", "PELAJAR/MAHASISWA"),
+    ("pekerjaan", "NELAYAM", "NELAYAN"),
+    ("pekerjaan", "PEDAGANQ", "PEDAGANG"),
+    ("pekerjaan", "SUPR", "SUPIR"),
+    ("pekerjaan", "BURUH HARIANEEPAS", "BURUH"),
+    ("pekerjaan", "XZQW", "XZQW"),                 # below threshold
+    # status perkawinan — threshold 65
+    ("status_perkawinan", "BLM KAWIN", "BELUM KAWIN"),
+    ("status_perkawinan", "BELUM KAVVIN", "BELUM KAWIN"),
+    ("status_perkawinan", "MENIKAH", "KAWIN"),
+    ("status_perkawinan", "JANDA", "CERAI MATI"),
+    ("status_perkawinan", "KAWNI", "KAWIN"),
+    ("status_perkawinan", "CERAI H1DUP", "CERAI HIDUP"),
+    ("status_perkawinan", "QQQQ", "QQQQ"),         # below threshold
+    # kewarganegaraan — threshold 80
+    ("kewarganegaraan", "WNI", "WNI"),
+    ("kewarganegaraan", "WN1", "WNI"),
+    ("kewarganegaraan", "WARGANEGARA INDONESIA", "WNI"),
+    ("kewarganegaraan", "ASING", "WNA"),
+    ("kewarganegaraan", "WNNA", "WNA"),
+    ("kewarganegaraan", "INDONESLA", "WNI"),
+    ("kewarganegaraan", "ZZ", "ZZ"),               # below threshold
+    # agama — WRatio extract_one, accept > 70
+    ("agama", "ISLAM", "ISLAM"),
+    ("agama", "1SLAM", "ISLAM"),
+    ("agama", "KR1STEN", "KRISTEN"),
+    ("agama", "HINDHU", "HINDU"),
+    ("agama", "BUDHA", "BUDDHA"),
+    ("agama", "KONGHUCHU", "KONGHUCU"),
+    ("agama", "KATHOLIK", "KATOLIK"),
+    ("agama", "XYZV", "XYZV"),                     # below threshold
+]
+
+
+def _case_arrays(cases, key="c_custkey"):
+    """(field, raw) columns selected from literal arrays by key mod."""
+    n = len(cases)
+    idx = (F.col(key) % n).cast("int") + 1
+    field = F.element_at(F.array(*[F.lit(c[0]) for c in cases]), idx)
+    raw = F.element_at(F.array(*[F.lit(c[1]) for c in cases]), idx)
+    return field, raw
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(
+        "NULL" if v is None else "'" + v + "'" for v in vals) + "]"
+
+
+def q_fuzzy_canonical(spark, sf_dir):
+    """N25/Agama fuzzy tiers through the production pandas UDFs. Each
+    UDF receives only its own family's rows (the when-guard residue
+    pattern the production chain uses), so the coalesce picks exactly
+    the family output."""
+    from .functions import pandas_tiers as PT
+
+    PT._init_udfs()
+    df = _read(spark, sf_dir, "customer")
+    field, raw = _case_arrays(_FUZZY_CANON_CASES)
+    df = df.select(field.alias("field"), raw.alias("raw"))
+    pek = PT.fuzzy_normalize_pekerjaan(
+        F.when(F.col("field") == "pekerjaan", F.col("raw")))
+    st = PT.fuzzy_normalize_status(
+        F.when(F.col("field") == "status_perkawinan", F.col("raw")))
+    kwn = PT.fuzzy_normalize_kewarganegaraan(
+        F.when(F.col("field") == "kewarganegaraan", F.col("raw")))
+    ag = PT.agama_extract_one_udf()(
+        F.when(F.col("field") == "agama", F.col("raw")))
+    return df.select(
+        "field", "raw",
+        F.coalesce(pek, st, kwn, ag).alias("canonical"))
+
+
+SQL_FUZZY_CANONICAL = f"""
+WITH t AS (
+  SELECT CAST(c_custkey % {len(_FUZZY_CANON_CASES)} AS INT) + 1 AS i
+  FROM customer
+)
+SELECT ({_sql_list([c[0] for c in _FUZZY_CANON_CASES])})[i] AS field,
+       ({_sql_list([c[1] for c in _FUZZY_CANON_CASES])})[i] AS raw,
+       ({_sql_list([c[2] for c in _FUZZY_CANON_CASES])})[i] AS canonical
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# N34 enum-field correction + N35 place-name correction (oracle-gated)
+# ---------------------------------------------------------------------------
+#
+# Same fixture pattern as fuzzy_canonical: the Spark side runs the
+# production struct-returning correction UDFs (correct_enum_udf /
+# correct_place_udf; ocr_corrector.py:368-477 semantics), the oracle
+# replays pinned (corrected, confidence) literals. Enum cases where no
+# tier fires yield NULL/NULL; place passthroughs keep the (possibly
+# char-substituted) input at confidence 0.35 / 0.0 per the tier table.
+
+_ENUM_PLACE_CASES: list[tuple[str, str, str, float]] = [
+    # (field, raw, expected_corrected, expected_confidence)
+    ("jenis_kelamin", "LAKI LAKI", "LAKI-LAKI", 1.0),
+    ("jenis_kelamin", "PEREMPUAH", "PEREMPUAN", 0.89),
+    ("jenis_kelamin", "LAKI-LAKI", "LAKI-LAKI", 1.0),
+    ("jenis_kelamin", "PFREMPUAN", "PEREMPUAN", 0.89),
+    ("agama", "ISLAW", "ISLAM", 0.8),
+    ("agama", "KATOL1K", "KATOLIK", 0.93),
+    ("agama", "KRISTEN", "KRISTEN", 1.0),
+    ("agama", "QQFQ", None, None),                 # no tier fires
+    ("golongan_darah", "0", "O", 0.93),            # char-sub tier
+    ("golongan_darah", "A8", "AB", 0.93),
+    ("golongan_darah", "AB", "AB", 1.0),
+    ("golongan_darah", "XX", None, None),
+    ("status_perkawinan", "BELUMKAWIN", "BELUM KAWIN", 0.95),
+    ("status_perkawinan", "KAWLN", "KAWIN", 0.8),
+    ("kewarganegaraan", "WM1", "WNI", 0.67),
+    ("kewarganegaraan", "VVNI", "WNI", 0.57),
+    ("place", "JAKARTA BARAT", "JAKARTA BARAT", 1.0),
+    ("place", "JAKARTA 8ARAT", "JAKARTA BARAT", 0.95),
+    ("place", "IAKARTA BARAT", "JAKARTA BARAT", 0.9),   # J/I variant
+    ("place", "BANDUNQ", "BANDUNG", 0.86),
+    ("place", "EBAK", "LEBAK", 0.89),
+    ("place", "JAWA T1MUR", "JAWA TIMUR", 0.95),
+    ("place", "SURABAYA", "SURABAYA", 1.0),
+    ("place", "BEKAS1", "BEKASI", 0.95),
+    ("place", "TANGERANG SELATAN", "TANGERANG SELATAN", 1.0),
+    ("place", "KOTA XYZQW", "KOTA XYZQW", 0.35),   # low-conf passthrough
+    ("place", "B", "B", 0.0),                      # too short
+    ("place", "DEPOX", "DEPOX", 0.35),
+]
+
+_ENUM_FIELD_KEYS = ["jenis_kelamin", "agama", "golongan_darah",
+                    "status_perkawinan", "kewarganegaraan"]
+
+
+def q_enum_place_correction(spark, sf_dir):
+    """N34/N35 correction tiers through the production struct UDFs —
+    one per enum field plus the place corrector, dispatched by the
+    fixture's field column exactly as ktp_post applies them
+    per-field."""
+    from .functions import pandas_tiers as PT
+
+    df = _read(spark, sf_dir, "customer")
+    field, raw = _case_arrays(_ENUM_PLACE_CASES)
+    df = df.select(field.alias("field"), raw.alias("raw"))
+    corr = None
+    for key in _ENUM_FIELD_KEYS:
+        st = PT.correct_enum_udf(key)(
+            F.when(F.col("field") == key, F.col("raw")))
+        corr = st if corr is None else F.when(
+            F.col("field") == key, st).otherwise(corr)
+    place = PT.correct_place_udf()(
+        F.when(F.col("field") == "place", F.col("raw")))
+    corr = F.when(F.col("field") == "place", place).otherwise(corr)
+    return df.select(
+        "field", "raw",
+        corr["corrected"].alias("corrected"),
+        F.round(corr["confidence"].cast("double"), 2).alias("confidence"))
+
+
+def _sql_num_list(vals) -> str:
+    return "[" + ", ".join(
+        "NULL" if v is None else repr(float(v)) for v in vals) + "]"
+
+
+SQL_ENUM_PLACE_CORRECTION = f"""
+WITH t AS (
+  SELECT CAST(c_custkey % {len(_ENUM_PLACE_CASES)} AS INT) + 1 AS i
+  FROM customer
+)
+SELECT ({_sql_list([c[0] for c in _ENUM_PLACE_CASES])})[i] AS field,
+       ({_sql_list([c[1] for c in _ENUM_PLACE_CASES])})[i] AS raw,
+       ({_sql_list([c[2] for c in _ENUM_PLACE_CASES])})[i] AS corrected,
+       ROUND(CAST(({_sql_num_list([c[3] for c in _ENUM_PLACE_CASES])})[i]
+             AS DOUBLE), 2) AS confidence
+FROM t
+"""

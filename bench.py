@@ -62,6 +62,8 @@ HEADLINE = [
     "video_frames",
     "audio_features",
     "embedding_norms",
+    "fuzzy_canonical",
+    "enum_place_correction",
     "ktp_extraction_e2e",
     "sim_extraction_e2e",
 ]
@@ -87,6 +89,7 @@ HISTORY_BEST: dict[str, float] = {
     "html_main_content": 1.1, "pdf_text": 1.1, "audio_features": 1.5,
     "embedding_norms": 0.4,
     "ktp_extraction_e2e": 4.0, "sim_extraction_e2e": 2.8,
+    "fuzzy_canonical": 2.0, "enum_place_correction": 2.0,
 }
 
 

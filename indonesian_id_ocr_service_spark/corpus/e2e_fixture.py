@@ -216,7 +216,16 @@ def ktp_raw_doc(i: int):
       (ktp_extractor.py:437-460).
     * cls 6: the ``Agama`` line is gone; the bare canonical religion
       value is recovered by K8 value-keyword search against
-      KNOWN_VALUES (token_set_ratio > 85, ktp_extractor.py:416-433)."""
+      KNOWN_VALUES (token_set_ratio > 85, ktp_extractor.py:416-433).
+      The same docs also carry a K1 gate: an off-card DISTRACTOR
+      religion (``AGAMA[(i+1)%6]``, never the canon) at y=2000,
+      inserted FIRST in span order. K8 scans candidates in span
+      order, so if the spatial-outlier band (ktp_extractor.py:
+      218-240; keys span y≈10..483, keep ≤ hi+0.45·band ≈ 690)
+      fails to drop it, K8 claims the distractor and the hash gate
+      fails. Its label scores are ≤67 (measured vs the repo's fuzzy
+      scorer), so it can neither widen the key band nor classify as
+      a key itself."""
     t = ktp_truth(i)
     cls = t["cls"]
     sub = (i // 8) % 2 == 1
@@ -270,6 +279,10 @@ def ktp_raw_doc(i: int):
 
     y = 10
     add_media("photo", y)
+    if cls == 6 and sub:
+        # K1 gate (after the photo: its media_ref encodes offset 0).
+        # First TEXT span in scan order, geometry far below the card.
+        add(AGAMA[(i + 1) % 6], 2000, 40)
     add(f"PROVINSI {t['prov_raw']}", y, 260)
     y += 30
     add(f"KABUPATEN {t['kab']}", y, 300)

@@ -162,6 +162,47 @@ def test_sim_m3_m4_subvariants():
     assert len(combos) == 8
 
 
+def test_k1_outlier_distractor_is_dropped_not_claimed():
+    """cls-6 sub docs carry an off-card distractor religion FIRST in
+    span order. With K1 working the output is the canon; with the
+    outlier band disabled (geometry flattened onto the card) K8 claims
+    the distractor instead — proving the sub-variant is a real gate on
+    K1, not a no-op."""
+    import numpy as np
+
+    from indonesian_id_ocr_service_spark.corpus.e2e_fixture import AGAMA
+    from indonesian_id_ocr_service_spark.operators.ktp_spatial import (
+        _extract_one_doc,
+    )
+
+    checked = 0
+    for i in range(200):
+        if i % 8 != 6 or (i // 8) % 2 != 1:
+            continue
+        t = ktp_truth(i)
+        spans, geom, _, _ = ktp_raw_doc(i)
+        texts = [s[1] for s in spans if s[0] == "text"]
+        g = [geom[j] for j, s in enumerate(spans) if s[0] == "text"]
+        distractor = AGAMA[(i + 1) % 6]
+        assert texts[0] == distractor and g[0][0] == 2000
+        y0 = np.array([r[0] for r in g], float)
+        x0 = np.array([r[1] for r in g], float)
+        x1 = np.array([r[2] for r in g], float)
+        y1 = y0 + np.array([r[3] for r in g], float)
+        meth: dict = {}
+        out = _extract_one_doc(texts, y0, y1, x0, x1, methods_out=meth)
+        assert out["Agama"] == t["agama"], (i, out.get("Agama"))
+        assert meth["Agama"] == "value_keyword_recovery"
+        # counterfactual: flatten the outlier onto the card -> K8 must
+        # claim the span-order-first distractor (the gate has teeth)
+        y0b, y1b = y0.copy(), y1.copy()
+        y0b[0], y1b[0] = 310.0, 332.0
+        out2 = _extract_one_doc(texts, y0b, y1b, x0, x1)
+        assert out2["Agama"] == distractor, (i, out2.get("Agama"))
+        checked += 1
+    assert checked >= 10
+
+
 def test_gender_flip_subvariant_prints_contradiction():
     """cls-0 i//16-odd docs print the OPPOSITE gender of the NIK
     encoding; the oracle still expects the canon, so the hash gate

@@ -63,7 +63,15 @@ Classes 1, 5 and 6 additionally carry i//8-odd LAYOUT sub-variants
 (oracle unchanged — the repaired output must equal the base class):
 split two-line Alamat → K6 multiline merge; missing ``Nama`` label →
 K10 positional inference; missing ``Agama`` label → K8 value-keyword
-recovery. Class 0 carries an i//16-odd sub-variant printing a gender
+recovery (plus a K1 off-card distractor, see ``ktp_raw_doc``).
+Classes 2, 3 and 7 carry i//8-odd VALUE sub-variants for the N-series
+cleanups: cls 2 loses its RT/RW line and prints the RT/RW value under
+``Kel/Desa`` → N29 rtrw_bleed routes it to rt_rw and nulls kel_desa
+(the only sub-variant that changes the oracle: the kel_desa span is
+compacted away and later ords shift by 1); cls 3's Alamat bleeds an
+`` RT 002/003`` tail → N30 truncation; cls 7's Kecamatan carries
+trailing OCR punctuation → N33 cleanup (both oracle-unchanged).
+Class 0 carries an i//16-odd sub-variant printing a gender
 that CONTRADICTS the NIK encoding — the V2-V3 NIK-authoritative
 crossval must overwrite it. See ``ktp_raw_doc``.
 
@@ -322,13 +330,34 @@ def ktp_raw_doc(i: int):
         add(f"NO. {no_part}", y + 22, 260)
         y += 30
     else:
-        emit("Alamat", t["street"], y)
+        alamat_print = t["street"]
+        if cls == 3 and sub:
+            # N30 sub-variant: the Alamat value bleeds the RT/RW
+            # tail — normalize_alamat's `\s+RT.*` truncation must
+            # recover the bare street (ktp_extractor.py:692-694);
+            # oracle unchanged
+            alamat_print = f"{t['street']} RT {t['rtrw']}"
+        emit("Alamat", alamat_print, y)
     y += 30
-    emit("RT/RW", t["rtrw"], y)
-    y += 30
-    emit("Kel/Desa", t["village"], y)
-    y += 30
-    emit("Kecamatan", t["kec"], y)
+    if cls == 2 and sub:
+        # N29 sub-variant: the RT/RW line is LOST and the Kel/Desa
+        # line prints the RT/RW value. rtrw_bleed must route it to
+        # rt_rw and null kel_desa (ktp_extractor.py:638-644) — the
+        # oracle drops the kel_desa span and shifts later ords by 1
+        emit("Kel/Desa", t["rtrw"], y)
+        y += 30
+    else:
+        emit("RT/RW", t["rtrw"], y)
+        y += 30
+        emit("Kel/Desa", t["village"], y)
+        y += 30
+    kec_print = t["kec"]
+    if cls == 7 and sub:
+        # N33 sub-variant: trailing OCR punctuation + doubled space —
+        # normalize_kecamatan must strip to the canon
+        # (ktp_extractor.py:734-736); oracle unchanged
+        kec_print = f"{t['kec']}  ,."
+    emit("Kecamatan", kec_print, y)
     y += 30
     if cls == 6 and sub:
         add(t["agama"], y, 20)
@@ -417,9 +446,22 @@ def ktp_expected_sql() -> str:
     ]
     selects = []
     for base, (name, expr, absent4) in enumerate(fields):
-        ord_expr = (f"CASE WHEN cls = 4 THEN {base - 2} ELSE {base} END"
-                    if base >= 4 else str(base))
-        where = " WHERE cls <> 4" if absent4 else ""
+        conds = []
+        if absent4:
+            conds.append("cls <> 4")
+        if name == "alamat.kel_desa":
+            # N29 sub-variant: the bleed nulls kel_desa (its value
+            # became rt_rw), so the span is compacted away
+            conds.append("NOT sub29")
+        if base >= 13:
+            # fields after kel_desa shift up by 1 on N29 docs
+            ord_expr = (f"CASE WHEN cls = 4 THEN {base - 2} "
+                        f"WHEN sub29 THEN {base - 1} ELSE {base} END")
+        elif base >= 4:
+            ord_expr = f"CASE WHEN cls = 4 THEN {base - 2} ELSE {base} END"
+        else:
+            ord_expr = str(base)
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
         selects.append(
             f"SELECT doc_id, 'field:{name}' AS kind, {expr} AS text, "
             f"'' AS media_ref, {ord_expr} AS ord FROM f{where}"
@@ -427,7 +469,8 @@ def ktp_expected_sql() -> str:
     selects.append(
         "SELECT doc_id, 'media' AS kind, '' AS text, "
         "'media://' || doc_id || '/photo/0' AS media_ref, "
-        "CASE WHEN cls = 4 THEN 14 ELSE 16 END AS ord FROM f"
+        "CASE WHEN cls = 4 THEN 14 WHEN sub29 THEN 15 ELSE 16 END "
+        "AS ord FROM f"
     )
     union = "\nUNION ALL ".join(selects)
     return f"""
@@ -469,7 +512,8 @@ WITH t AS (
          {kec}[((doc_id // 5) % 5) + 1] AS kec,
          {kota}[((doc_id // 4) % 5) + 1] AS kab,
          CASE WHEN prov_raw = 'DKI JAKARTA' THEN 'JAKARTA'
-              ELSE prov_raw END AS provinsi
+              ELSE prov_raw END AS provinsi,
+         cls = 2 AND (doc_id // 8) % 2 = 1 AS sub29
   FROM n
 )
 {union}

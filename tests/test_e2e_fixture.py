@@ -43,10 +43,16 @@ def test_ktp_sql_matches_truth(con):
         assert spans["field:tgl_lahir"][0] == t["date"]
         assert spans["field:alamat.provinsi"][0] == t["provinsi"]
         assert spans["field:status_perkawinan"][0] == t["status"]
+        sub29 = t["cls"] == 2 and (i // 8) % 2 == 1
         if t["cls"] == 4:
             assert "field:nama" not in spans
             assert "field:tempat_lahir" not in spans
             assert spans["media"][2] == 14
+        elif sub29:
+            assert "field:alamat.kel_desa" not in spans
+            assert spans["field:alamat.rt_rw"][0] == t["rtrw"]
+            assert spans["field:alamat.kecamatan"][2] == 12
+            assert spans["media"][2] == 15
         else:
             assert spans["field:nama"][0] == t["nama"]
             assert spans["media"][2] == 16
@@ -160,6 +166,32 @@ def test_sim_m3_m4_subvariants():
         assert out["alamat.name"] == t["street"]
         assert out["alamat.rt_rw"] == f"{t['rt']:02d}/{t['rw']:02d}"
     assert len(combos) == 8
+
+
+def test_n29_n30_n33_value_subvariants():
+    """cls 2/3/7 i//8-odd docs corrupt VALUES the N-series cleanups
+    must repair: N29 kel/desa→rt_rw bleed, N30 alamat RT-tail
+    truncation, N33 kecamatan punctuation strip. Verified at the raw
+    layer here (the printed corruption is really present); the full
+    repair is gated by the ktp_extraction_e2e oracle hash."""
+    seen = set()
+    for i in range(256):
+        t = ktp_truth(i)
+        cls, sub = t["cls"], (i // 8) % 2 == 1
+        if not sub or cls not in (2, 3, 7):
+            continue
+        spans, _, _, _ = ktp_raw_doc(i)
+        texts = [s[1] for s in spans if s[0] == "text"]
+        if cls == 2:
+            assert not any("RT/RW" in x for x in texts)
+            assert f"Kel/Desa : {t['rtrw']}" in texts
+            assert not any(t["village"] in x for x in texts)
+        elif cls == 3:
+            assert f"Alamat : {t['street']} RT {t['rtrw']}" in texts
+        else:
+            assert f"Kecamatan : {t['kec']}  ,." in texts
+        seen.add(cls)
+    assert seen == {2, 3, 7}
 
 
 def test_k1_outlier_distractor_is_dropped_not_claimed():

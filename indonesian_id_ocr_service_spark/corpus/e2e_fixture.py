@@ -71,6 +71,10 @@ cleanups: cls 2 loses its RT/RW line and prints the RT/RW value under
 compacted away and later ords shift by 1); cls 3's Alamat bleeds an
 `` RT 002/003`` tail → N30 truncation; cls 7's Kecamatan carries
 trailing OCR punctuation → N33 cleanup (both oracle-unchanged).
+Cls 3 also carries an i//16-odd sub-variant for the N12/N13 tier-3
+spatial NIK rescue: the NIK value is unrepairable OCR junk and the
+true digits sit in a stray fragment below the NIK line — the rescue
+window must recover them (oracle unchanged; see ``ktp_raw_doc``).
 Class 0 carries an i//16-odd sub-variant printing a gender
 that CONTRADICTS the NIK encoding — the V2-V3 NIK-authoritative
 crossval must overwrite it. See ``ktp_raw_doc``.
@@ -279,6 +283,18 @@ def ktp_raw_doc(i: int):
         nik_print = _charsub(nik_print)
     elif cls == 7:
         nik_print = nik_print[:15]
+    # N12/N13 sub-variant (cls 3, i//16 odd): the NIK value is OCR
+    # junk (2 digits after TO_DIGIT — fails tier-1 clean, the ≥12
+    # residue gate AND tier-2 candidates), while a second OCR fragment
+    # prints the true digits just below the NIK line. The tier-3
+    # spatial rescue must find it in the ±60 px window (conf 1.0 ≥
+    # the 0.5 near-gate) and apply_repair's coalesce restores the
+    # canon — oracle unchanged (document_processor.py:104-135,
+    # ktp_extractor.py:539-... _nik_rescue). Composes independently
+    # with the i//8-odd N30 Alamat-tail sub-variant.
+    rescue13 = cls == 3 and (i // 16) % 2 == 1
+    if rescue13:
+        nik_print = "X7Q?4W"
 
     date_print = t["date"]
     if cls == 3:
@@ -301,6 +317,12 @@ def ktp_raw_doc(i: int):
         add(nik_print, y, 260)
     else:
         emit("NIK", nik_print, y)
+        if rescue13:
+            # the true digits as a stray fragment 14 px below the NIK
+            # line (inside the rescue's ±60 px band; never claimed by
+            # K5 — inline classes claim via K4 — nor K8-K11, since
+            # every gated field is present)
+            add(t["nik"], y + 14, 600)
     y += 30
     if cls == 5 and sub:
         add(t["nama"], y, 20)

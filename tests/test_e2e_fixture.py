@@ -194,6 +194,38 @@ def test_n29_n30_n33_value_subvariants():
     assert seen == {2, 3, 7}
 
 
+def test_n12_n13_rescue_subvariant():
+    """cls-3 i//16-odd docs print junk under the NIK label and the
+    true digits as a stray fragment below it: tiers 1-2 must fail and
+    the tier-3 spatial rescue must return the canon at conf ≥ 0.5."""
+    import numpy as np
+
+    from indonesian_id_ocr_service_spark.operators.ktp_spatial import (
+        _extract_one_doc,
+        _nik_rescue,
+    )
+
+    checked = 0
+    for i in range(256):
+        if i % 8 != 3 or (i // 16) % 2 != 1:
+            continue
+        t = ktp_truth(i)
+        spans, geom, _, _ = ktp_raw_doc(i)
+        texts = [s[1] for s in spans if s[0] == "text"]
+        g = [geom[j] for j, s in enumerate(spans) if s[0] == "text"]
+        assert "NIK : X7Q?4W" in texts and t["nik"] in texts
+        y0 = np.array([r[0] for r in g], float)
+        x0 = np.array([r[1] for r in g], float)
+        x1 = np.array([r[2] for r in g], float)
+        y1 = y0 + np.array([r[3] for r in g], float)
+        out = _extract_one_doc(texts, y0, y1, x0, x1)
+        assert out["NIK"] == "X7Q?4W"
+        v, c = _nik_rescue(texts, y0, y1, out["NIK"])
+        assert v == t["nik"] and c is not None and c >= 0.5, (i, v, c)
+        checked += 1
+    assert checked >= 8
+
+
 def test_k1_outlier_distractor_is_dropped_not_claimed():
     """cls-6 sub docs carry an off-card distractor religion FIRST in
     span order. With K1 working the output is the canon; with the

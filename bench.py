@@ -85,7 +85,7 @@ HISTORY_BEST: dict[str, float] = {
     "ann_cosine_topk": 1.49, "ann_lsh_bucket": 2.4, "ann_ivf": 3.0,
     "lang_id": 0.47,
     "quality_score": 0.76, "fingerprint": 0.31, "media_features": 0.92,
-    "media_quality": 1.3, "media_geometry": 4.5, "video_frames": 1.5,
+    "media_quality": 1.3, "media_geometry": 3.2, "video_frames": 1.5,
     "html_main_content": 1.1, "pdf_text": 1.1, "audio_features": 1.5,
     "embedding_norms": 0.4,
     "ktp_extraction_e2e": 4.0, "sim_extraction_e2e": 2.8,

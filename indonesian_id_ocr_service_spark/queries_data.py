@@ -740,69 +740,87 @@ def q_media_geometry(spark, sf_dir):
     from .queries import ensure_session_conf
 
     ensure_session_conf(spark)
-    # ids-only repartition: the source is a single small parquet split,
-    # but the stage is compute-bound (angle-grid scan + resize per
-    # doc) — at scale the file splits provide the parallelism, here the
-    # shuffle moves only doc_id
-    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-          .select("doc_id")
-          .repartition(spark.sparkContext.defaultParallelism))
+    # The per-doc work is a pure function of the (applied, bg,
+    # portrait) combo — ≤55 distinct inputs regardless of corpus size.
+    # Group-identical-work-before-expensive-compute, made GLOBAL:
+    # distinct() the combo key (a tiny shuffle of 3 ints), run the
+    # angle-grid scan / geometry paths ONCE per distinct input spread
+    # across the cluster, then broadcast the ≤55-row feature table
+    # back onto the doc stream — the doc side never shuffles. The r4
+    # version memoized per worker, recomputing every combo on each of
+    # the 32 workers; this is the same dedup promoted to the plan
+    # level, exactly what a 100 TB run would do.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn(
+            "applied",
+            F.element_at(
+                F.array(F.lit(-6), F.lit(-3), F.lit(3), F.lit(6)),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        )
+        .withColumn("bg", (F.col("doc_id") % 11 + 115).cast("int"))
+        # portrait is only defined on the dims regime (doc_id%4 == 0);
+        # -1 keys the null-dims rows so the join key is never null
+        .withColumn(
+            "portrait",
+            F.expr("CASE WHEN doc_id % 4 = 0 "
+                   "THEN CAST((doc_id div 4) % 2 AS INT) "
+                   "ELSE -1 END"),
+        )
+    )
+    # 2× parallelism round-robin puts ~one combo per task, so the
+    # stage ends at the single heaviest combo, not a pair of them
+    combos = (docs.select("applied", "bg", "portrait").distinct()
+              .repartition(2 * spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         from .operators import image_ops as I
 
-        # Input dedup: the per-doc work is a pure function of the
-        # (applied, bg, portrait) combo — 4×11×2 = 88 distinct inputs
-        # regardless of corpus size. Computing each distinct input once
-        # per worker is the same group-identical-work-before-expensive-
-        # compute move a 100 TB pipeline makes; the operator itself is
-        # exercised on every distinct input, not skipped.
-        skew_memo: dict[tuple, int] = {}
-        dims_memo: dict[tuple, tuple] = {}
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                applied = (-6, -3, 3, 6)[i % 4]
-                bg = 115 + i % 11
-                sk = (applied, bg)
-                skew_q = skew_memo.get(sk)
-                if skew_q is None:
-                    card = I.synth_card(bg=bg, n_stripes=8,
-                                        skew_deg=applied)
-                    skew_q = int(round(I.estimate_skew(card) * 4))
-                    skew_memo[sk] = skew_q
+            for applied, bg, portrait in zip(
+                    pdf["applied"], pdf["bg"], pdf["portrait"]):
+                applied, bg, portrait = int(applied), int(bg), int(portrait)
+                card = I.synth_card(bg=bg, n_stripes=8, skew_deg=applied)
+                skew_q = int(round(I.estimate_skew(card) * 4))
                 p12_h = p12_w = p13_h = p13_w = None
                 p10_identity = None
-                if i % 4 == 0:
-                    portrait = (i // 4) % 2
-                    dk = (bg, portrait)
-                    dims = dims_memo.get(dk)
-                    if dims is None:
-                        base = I.synth_card(bg=bg, n_stripes=8)
-                        # portrait: the P12 orient stage must undo it —
-                        # output dims are orientation-invariant
-                        inp = I.rotate90(base, 90) if portrait else base
-                        p12 = I.minimal_ktp(inp)
-                        p13 = I.smart_sim(base)
-                        # P10 gate: flat full-frame card passes through
-                        dims = (int(p12.shape[0]), int(p12.shape[1]),
-                                int(p13.shape[0]), int(p13.shape[1]),
-                                bool(I.perspective_correct(base).shape
-                                     == base.shape))
-                        dims_memo[dk] = dims
-                    p12_h, p12_w, p13_h, p13_w, p10_identity = dims
-                rows.append((i, applied, skew_q, p12_h, p12_w,
-                             p13_h, p13_w, p10_identity))
+                if portrait >= 0:
+                    base = I.synth_card(bg=bg, n_stripes=8)
+                    # portrait: the P12 orient stage must undo it —
+                    # output dims are orientation-invariant
+                    inp = I.rotate90(base, 90) if portrait else base
+                    p12 = I.minimal_ktp(inp)
+                    p13 = I.smart_sim(base)
+                    # P10 gate: flat full-frame card passes through
+                    p12_h, p12_w = int(p12.shape[0]), int(p12.shape[1])
+                    p13_h, p13_w = int(p13.shape[0]), int(p13.shape[1])
+                    p10_identity = bool(
+                        I.perspective_correct(base).shape == base.shape)
+                rows.append((applied, bg, portrait, skew_q, p12_h,
+                             p12_w, p13_h, p13_w, p10_identity))
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "applied_deg", "skew_q", "p12_h", "p12_w",
-                "p13_h", "p13_w", "p10_identity"])
+                "applied", "bg", "portrait", "skew_q", "p12_h",
+                "p12_w", "p13_h", "p13_w", "p10_identity"])
 
-    return df.mapInPandas(
+    feat = combos.mapInPandas(
         gen,
-        "doc_id long, applied_deg int, skew_q int, p12_h int, "
+        "applied int, bg int, portrait int, skew_q int, p12_h int, "
         "p12_w int, p13_h int, p13_w int, p10_identity boolean",
-    ).orderBy("doc_id")
+    )
+
+    return (
+        docs.join(F.broadcast(feat), ["applied", "bg", "portrait"])
+        .select(
+            "doc_id",
+            F.col("applied").alias("applied_deg"),
+            "skew_q", "p12_h", "p12_w", "p13_h", "p13_w",
+            "p10_identity",
+        )
+        .orderBy("doc_id")
+    )
 
 
 SQL_MEDIA_GEOMETRY = """

@@ -302,6 +302,16 @@ def main() -> None:
         if n in HISTORY_BEST
         and results[n] > max(3.0 * HISTORY_BEST[n], 2.5)
     )
+    # softer tier: >1.5x the floor but under the suspect bar — the
+    # moderate-contention regime (e.g. a 17s dedup_verified against a
+    # 7s floor) that the 3x guard deliberately doesn't resample. The
+    # record names it instead of letting a reader assume the engine
+    # got slower.
+    degraded = sorted(
+        n for n in HEADLINE
+        if n in HISTORY_BEST and n not in suspect
+        and results[n] > max(1.5 * HISTORY_BEST[n], 2.5)
+    )
     # the LAST stdout line is exactly the compact driver contract
     print(json.dumps({
         "metric": "e2e_extraction_plus_headline_queries",
@@ -309,6 +319,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "suspect": suspect,
+        "degraded": degraded,
         "sf": sf,
         "pipeline": {
             "n_docs": n_docs,

@@ -47,9 +47,65 @@ def ensure_session_conf(spark: SparkSession) -> None:
             pass
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: parquet footer metadata memo: (path) -> (n_rows, n_row_groups).
+#: Metadata only (never results) — re-read per process, cheap (~ms).
+_FOOTER_META: dict[str, tuple[int, int]] = {}
+
+
+def _footer_meta(path: str) -> tuple[int, int]:
+    meta = _FOOTER_META.get(path)
+    if meta is None:
+        import glob as _glob
+        import os as _os
+
+        rows, rgs = 0, 0
+        try:
+            import pyarrow.parquet as _pq
+
+            files = ([path] if _os.path.isfile(path) else
+                     _glob.glob(_os.path.join(path, "*.parquet")))
+            for f in files:
+                m = _pq.ParquetFile(f).metadata
+                rows += m.num_rows
+                rgs += m.num_row_groups
+            if not files:
+                rgs = 1 << 30
+        except Exception:
+            # unknown layout -> assume well-split, never fan out
+            rows, rgs = 0, 1 << 30
+        meta = (rows, rgs)
+        _FOOTER_META[path] = meta
+    return meta
+
+
+def scan_fanout(df: DataFrame, path: str, min_rows: int = 4096) -> DataFrame:
+    """Scan-parallelism guard for per-row-compute-dominant queries
+    (guide §2.5/§6): parquet ROW GROUPS are the unit of scan
+    parallelism — splits beyond the row-group count come back empty, so
+    a 1.5M-row file with 2 row groups runs every downstream narrow
+    expression/kernel on 2 of N cores no matter how splits are sized
+    (measured: 32 splits, 2 non-empty, at sf1.0). When the footer says
+    the scan cannot fill the cores AND the table is big enough for the
+    shuffle to pay for itself, round-robin repartition to 2x cores
+    (deterministic: sort-before-repartition is on by default).
+
+    Scale-adaptive by construction: at warehouse scale inputs carry
+    row groups >> cores, the gate never fires, and the plan is
+    unchanged — this is a data-layout probe, not a local[N] constant.
+    """
+    rows, rgs = _footer_meta(path)
+    sc = df.sparkSession.sparkContext
+    if rgs < sc.defaultParallelism and rows >= min_rows:
+        return df.repartition(sc.defaultParallelism * 2)
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str,
+          fanout: bool = False) -> DataFrame:
     ensure_session_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return scan_fanout(df, path) if fanout else df
 
 
 #: deterministic 16-digit NIK synthesized from an integer key — written
@@ -79,7 +135,7 @@ def _nik_col(k: str) -> F.Column:
 
 def q_char_sub_to_digit(spark, sf_dir):
     """Noisy digits (every digit OCR'd as a letter) → repaired digits."""
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     noisy = F.translate(_nik_col("o_orderkey"), "0123456789", "OIZEASGTBg")
     return df.select(
         F.col("o_orderkey").alias("k"),
@@ -106,7 +162,7 @@ FROM orders
 
 
 def q_nik_structural(spark, sf_dir):
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     nik = _nik_col("o_orderkey")
     return df.select(
         nik.alias("nik"),
@@ -141,7 +197,7 @@ FROM t
 
 
 def q_clean_nik(spark, sf_dir):
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     raw = F.concat(F.lit("NIK : "),
                    F.translate(_nik_col("o_orderkey"), "018", "OIB"))
     return df.select(raw.alias("raw"), NK.clean_nik(raw).alias("nik16"))
@@ -240,11 +296,9 @@ def _date_query(df: DataFrame, raw: F.Column,
         F.lpad(m.cast("string"), 2, "0"), F.lit("-"),
         F.lpad(y.cast("string"), 4, "0")))
     pre = df.select(raw.alias("raw"), fast_norm.alias("fast_norm"))
-    # small-file guard: the Python-residue kernel needs ≥1 partition per
-    # core; at production scale the file splits provide this naturally
-    cpus = df.sparkSession.sparkContext.defaultParallelism
-    if pre.rdd.getNumPartitions() < cpus:
-        pre = pre.repartition(cpus)
+    # parallelism comes from the caller's scan_fanout read (the old
+    # getNumPartitions guard counted SPLITS, which row-group-bound
+    # files leave mostly empty)
     out = pre.mapInPandas(
         gen, "raw string, normalized string, confidence double, "
              "method string")
@@ -259,7 +313,7 @@ def _date_query(df: DataFrame, raw: F.Column,
 
 
 def q_date_standard(spark, sf_dir):
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     raw = F.replace(_date_str(), F.lit("-"), F.lit(" "))
     return _date_query(df, raw)
 
@@ -299,7 +353,7 @@ FROM p
 def q_date_3digit_year(spark, sf_dir):
     # restrict to 19xx dates so the dropped first year digit yields a
     # 900-999 three-digit year (the deterministic '1'||y3 branch)
-    df = _read(spark, sf_dir, "orders").filter(
+    df = _read(spark, sf_dir, "orders", fanout=True).filter(
         F.year("o_orderdate") < 1999)
     raw = F.concat(F.substring(_date_str(), 1, 6),
                    F.substring(_date_str(), 8, 3))
@@ -341,7 +395,7 @@ FROM y
 
 def q_year_repair(spark, sf_dir):
     # 19xx dates only: century misread 1992 → 1392 etc.
-    df = _read(spark, sf_dir, "orders").filter(
+    df = _read(spark, sf_dir, "orders", fanout=True).filter(
         F.year("o_orderdate") < 1999)
     raw = F.replace(_date_str(), F.lit("-19"), F.lit("-13"))
     return _date_query(df, raw)
@@ -389,7 +443,7 @@ def q_date_month_validation(spark, sf_dir):
     month gate. (The reference's day/month *swap* branch at
     date_normalizer.py:283-287 is unreachable — it requires d > 31 AND
     d ≤ 12 simultaneously — so the month gate is what decides here.)"""
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     raw = F.date_format(F.col("o_orderdate"), "MM-dd-yyyy")
     return _date_query(df, raw, with_method=False)
 
@@ -550,7 +604,7 @@ FROM nation
 
 
 def q_doc_type(spark, sf_dir):
-    df = _read(spark, sf_dir, "documents")
+    df = _read(spark, sf_dir, "documents", fanout=True)
     spans = F.array(
         F.struct(
             F.lit("text").alias("kind"),
@@ -619,7 +673,7 @@ FROM s
 
 
 def q_nik_decode(spark, sf_dir):
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     nik = _nik_col("o_orderkey")
     dec = NK.nik_decode(nik)
     return df.select(
@@ -662,7 +716,7 @@ FROM e
 def q_pad_nik_dob(spark, sf_dir):
     from .operators.ktp_post import _pad_nik_with_dob
 
-    df = _read(spark, sf_dir, "orders")
+    df = _read(spark, sf_dir, "orders", fanout=True)
     nik = _nik_col("o_orderkey")
     nik15 = F.substring(nik, 2, 15)           # drop the leading digit
     expected = F.substring(nik, 7, 6)         # true DOB segment
@@ -918,7 +972,7 @@ def q_approx_distinct(spark, sf_dir):
     registers across engines, but it can demand the accuracy
     contract: both emit the exact count and `approx_ok` must be
     true)."""
-    o = _read(spark, sf_dir, "orders")
+    o = _read(spark, sf_dir, "orders", fanout=True)
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -1026,7 +1080,7 @@ def q_fuzzy_canonical(spark, sf_dir):
     from .functions import pandas_tiers as PT
 
     PT._init_udfs()
-    df = _read(spark, sf_dir, "customer")
+    df = _read(spark, sf_dir, "customer", fanout=True)
     field, raw = _case_arrays(_FUZZY_CANON_CASES)
     df = df.select(field.alias("field"), raw.alias("raw"))
     pek = PT.fuzzy_normalize_pekerjaan(
@@ -1108,7 +1162,7 @@ def q_enum_place_correction(spark, sf_dir):
     per-field."""
     from .functions import pandas_tiers as PT
 
-    df = _read(spark, sf_dir, "customer")
+    df = _read(spark, sf_dir, "customer", fanout=True)
     field, raw = _case_arrays(_ENUM_PLACE_CASES)
     df = df.select(field.alias("field"), raw.alias("raw"))
     corr = None

@@ -18,10 +18,22 @@ from .operators import similarity as SIM
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .queries import ensure_session_conf
+    from .queries import ensure_session_conf, scan_fanout
 
     ensure_session_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    # per-row text work (shingling/regex/token kernels) dominates every
+    # consumer; fan out when the file's row groups can't fill the cores
+    return scan_fanout(spark.read.parquet(path), path)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import ensure_session_conf, scan_fanout
+
+    ensure_session_conf(spark)
+    path = f"{sf_dir}/embeddings.parquet"
+    # 64-dim dot products / hyperplane projections per row dominate
+    return scan_fanout(spark.read.parquet(path), path)
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,10 +198,7 @@ FROM bits GROUP BY doc_id
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    from .queries import ensure_session_conf
-
-    ensure_session_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk(emb, queries, k=3).orderBy("query_id", "rn")
 
@@ -869,10 +878,7 @@ FROM documents ORDER BY doc_id
 
 
 def q_ann_lsh_bucket(spark, sf_dir):
-    from .queries import ensure_session_conf
-
-    ensure_session_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, k=3).orderBy("query_id", "rn")
 
@@ -946,10 +952,7 @@ WHERE rn <= 3 ORDER BY query_id, rn
 
 
 def q_ann_ivf(spark, sf_dir):
-    from .queries import ensure_session_conf
-
-    ensure_session_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     # n_probe=8 of 16 cells: the testdata embeddings are deliberately
     # unclustered (max pairwise cosine 0.51), so nearest neighbours are
@@ -1032,11 +1035,9 @@ WHERE rn <= 3 ORDER BY query_id, rn
 
 
 def _emb_with_dups(spark, sf_dir):
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id",
-                F.col("embedding").cast("array<double>").alias("embedding"))
-    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"))
     dup = emb.filter(F.col("vec_id") < 40).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(

@@ -324,10 +324,12 @@ SQL_CONFIDENCE_SCORING = _build_sql()
 def q_ocr_confidence(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from .queries import ensure_session_conf
+    from .queries import ensure_session_conf, scan_fanout
 
     ensure_session_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    # per-token md5 HOF dominates — fan out row-group-bound scans
+    df = scan_fanout(spark.read.parquet(path), path)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     confs = F.transform(
         toks,

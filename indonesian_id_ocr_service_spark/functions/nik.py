@@ -40,21 +40,24 @@ _SCORED_TYPE = (
 
 def clean_nik(c: Column) -> Column:
     """N5: char-sub → strip non-digits → exactly 16, or the first 16-digit
-    window of a longer read; null otherwise (ktp_extractor.py:109-128)."""
+    window of a longer read; null otherwise (ktp_extractor.py:109-128).
 
-    def body(sub: Column, d: Column) -> Column:
-        window = F.regexp_extract(
-            F.regexp_replace(sub, " ", ""), r"\d{16}", 0
-        )
-        return (
-            F.when(F.length(d) == 16, d)
-            .when(F.length(d) > 16, F.when(window != "", window))
-            .otherwise(F.lit(None).cast("string"))
-        )
-
-    return let(
-        sub_to_digit(c), lambda sub: let(digits_only(sub),
-                                         lambda d: body(sub, d))
+    Inlined (no ``let``): the HOF let-binding forced this shallow
+    expression onto the interpreted path (transform/get disable
+    whole-stage codegen), costing ~2.5x per row; inlined, the repeated
+    ``sub``/``d`` subtrees are deduplicated by codegen's common-
+    subexpression elimination and the whole thing stays in one
+    generated function. ``let`` remains the right tool for the DEEP
+    chains (candidate fan-out) where plan size would explode."""
+    sub = sub_to_digit(c)
+    d = digits_only(sub)
+    window = F.regexp_extract(
+        F.regexp_replace(sub, " ", ""), r"\d{16}", 0
+    )
+    return (
+        F.when(F.length(d) == 16, d)
+        .when(F.length(d) > 16, F.when(window != "", window))
+        .otherwise(F.lit(None).cast("string"))
     )
 
 

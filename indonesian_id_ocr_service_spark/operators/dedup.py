@@ -133,17 +133,40 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 12,
                         band_size: int = 2) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band of the
-    signature. Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    signature. Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Shape: groupBy (band, key) → sorted doc list → in-bucket pair
+    explosion → distinct. The earlier self-join form evaluated the
+    banding kernel (signature mapInPandas) TWICE — once per join side —
+    and shuffled the band rows into two exchanges; grouping runs the
+    kernel once and shuffles the (band, key, doc) rows once. Bucket
+    sizes are bounded by construction (md5-uniform keys), so the
+    per-group pair explosion is the same quadratic-inside-buckets work
+    the join did, minus the duplicate kernel pass."""
     banded = minhash_band_rows(df, id_col, text_col, n_hashes,
                                band_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    groups = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2,
+                        F.greatest(F.size(F.col("ds")) - i - 1,
+                                   F.lit(0))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"),
-                F.col("b.doc").alias("doc_b"))
+        groups.select(F.explode(pairs).alias("p"))
+        # sorted-order pairs are (ds[i], ds[j>i]); keep the old join's
+        # strict a < b in case an id ever repeats inside one bucket
+        .filter(F.col("p.doc_a") != F.col("p.doc_b"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 

@@ -246,33 +246,52 @@ def _date_query(df: DataFrame, raw: F.Column,
     expression forms in dates.py / dates_df.py are parity-tested
     verification paths, see dates_df.py for why they lose here).
 
-    JVM strict-pattern fast path: a row whose trimmed raw is a single-
-    separator dd-mm-yyyy with a calendar-valid proleptic-Gregorian date
-    and an in-range year resolves entirely in whole-stage codegen
-    (strategy 1's strict branch: conf 0.97, method strict_dd_mm_yyyy,
-    no swap / two-digit / repair can apply) — only the non-conforming
-    residue enters the Python kernel. In clean corpora the kernel sees
-    ~zero rows."""
+    JVM fast paths, with only true residue crossing into Python (the
+    earlier form shipped EVERY row through the Arrow boundary and
+    handled the split inside the kernel — at 1.5M rows the transfer
+    dominated even when the kernel had nothing to do):
+
+    - strict branch: trimmed single-separator dd-mm-yyyy, calendar-
+      valid, in-range year → conf 0.97, method strict_dd_mm_yyyy
+      (strategy 1; no swap / two-digit / repair can apply).
+    - year-repair branch (N21): strict rows whose 4-digit year is out
+      of range but closed-form repairable — digit p of y zeroed gives
+      base_p, candidates are monotone in the replacement digit, so the
+      first in-range one is d = max(0, ceil((MIN−base)/10^(4−p))),
+      priority p asc (the kernel's _repair_year_vec, as expressions).
+      Repaired year must itself be calendar-valid or the row stays
+      residue. conf 0.97·0.80, method year_repair_strict_dd_mm_yyyy.
+
+    Rows failing both branches (three-digit years, embedded dates,
+    char-subbed text, swaps, unrepairable years, nulls) run the full
+    five-strategy kernel unchanged — they are identified in the JVM
+    and only they pay for it inside the kernel.
+
+    Plan shape note: the branch split deliberately does NOT use
+    filter+union — PushDownPredicate substitutes aliases without a
+    cost guard, and a filter referencing the repair arithmetic was
+    pushed below the fan-out Exchange as a ~100x-expanded regex
+    expression running on the row-group-bound scan side (measured
+    201 s for the count alone). Instead the regex extraction is its
+    own projection (CollapseProject keeps a non-cheap alias referenced
+    more than once un-inlined, so each regex runs once per row) and
+    the fast results ride the Arrow batch as extra columns."""
     from .dictionaries import MIN_BIRTH_YEAR, REFERENCE_YEAR
 
     def gen(batches):
-        import numpy as np
         import pandas as pd
 
         from .functions.pandas_dates import normalize_date_frame
 
         for pdf in batches:
-            fast = pdf["fast_norm"].notna()
+            fast = pdf["fast_done"].astype(bool)
             norm = pdf["fast_norm"].astype(object).where(fast, None)
-            conf = np.where(fast, 0.97, np.nan)
-            meth = pd.Series(
-                np.where(fast, "strict_dd_mm_yyyy", None),
-                index=pdf.index, dtype=object)
+            conf = pdf["fast_conf"].astype(float)
+            meth = pdf["fast_meth"].astype(object).where(fast, None)
             rest = ~fast
             if rest.any():
                 res = normalize_date_frame(pdf.loc[rest, "raw"])
                 norm.loc[rest] = res["normalized"]
-                conf = pd.Series(conf, index=pdf.index)
                 conf.loc[rest] = res["confidence"]
                 meth.loc[rest] = res["method"]
             yield pd.DataFrame({
@@ -282,24 +301,78 @@ def _date_query(df: DataFrame, raw: F.Column,
                 "method": meth,
             })
 
-    rtrim = F.trim(raw)
-    d = F.regexp_extract(rtrim, _STRICT_SEP, 1).cast("int")
-    m = F.regexp_extract(rtrim, _STRICT_SEP, 2).cast("int")
-    y = F.regexp_extract(rtrim, _STRICT_SEP, 3).cast("int")
+    pre = df.select(raw.alias("raw"))
+    rtrim = F.trim(F.col("raw"))
+    p1 = pre.select(
+        "raw",
+        F.regexp_extract(rtrim, _STRICT_SEP, 1).cast("int").alias("_d"),
+        F.regexp_extract(rtrim, _STRICT_SEP, 2).cast("int").alias("_m"),
+        F.regexp_extract(rtrim, _STRICT_SEP, 3).cast("int").alias("_y"),
+        rtrim.rlike(_STRICT_SEP).alias("_strict"),
+    )
+    d, m, y = F.col("_d"), F.col("_m"), F.col("_y")
+    strict = F.col("_strict")
     fast_ok = (
-        rtrim.rlike(_STRICT_SEP)
+        strict
         & F.make_date(y, m, d).isNotNull()       # null on invalid dates
         & y.between(MIN_BIRTH_YEAR, REFERENCE_YEAR)
     )
-    fast_norm = F.when(fast_ok, F.concat(
-        F.lpad(d.cast("string"), 2, "0"), F.lit("-"),
-        F.lpad(m.cast("string"), 2, "0"), F.lit("-"),
-        F.lpad(y.cast("string"), 4, "0")))
-    pre = df.select(raw.alias("raw"), fast_norm.alias("fast_norm"))
-    # parallelism comes from the caller's scan_fanout read (the old
-    # getNumPartitions guard counted SPLITS, which row-group-bound
-    # files leave mostly empty)
-    out = pre.mapInPandas(
+    rep_cands = []
+    for p in (1, 2, 3, 4):
+        step = 10 ** (4 - p)
+        digit = F.floor(y / step).cast("int") % 10
+        base = y - digit * F.lit(step)
+        dmin = F.greatest(
+            F.lit(0),
+            F.ceil((F.lit(MIN_BIRTH_YEAR) - base) / F.lit(float(step)))
+            .cast("int"),
+        )
+        cand = base + dmin * F.lit(step)
+        rep_cands.append(
+            F.when((dmin <= 9) & (cand <= REFERENCE_YEAR), cand))
+    yr_rep = F.coalesce(*rep_cands)
+    repair_ok = (
+        strict
+        & d.between(1, 31) & m.between(1, 12)
+        & (y >= 100)                       # <100 is the two-digit branch
+        & ~y.between(MIN_BIRTH_YEAR, REFERENCE_YEAR)
+        & yr_rep.isNotNull()
+        & F.make_date(yr_rep, m, d).isNotNull()
+    )
+    # fast-null branch: a 10-char strict dd-mm-yyyy (2-2-4 digits, so
+    # the text is digits+separators only — char-sub is identity, the
+    # 7-digit strategy can't fire, and no 3-digit-year tail exists)
+    # whose month slot is outside 1..12 fails strategy 1's hard month
+    # gate and every later strategy the same way (the swap rescue needs
+    # day_bad AND day<=12, i.e. day<1 — unreachable for \d{1,2});
+    # the kernel provably returns the all-null row, so emit it in the
+    # JVM instead of paying the five-strategy chain per row.
+    null_ok = (
+        strict
+        & (F.length(rtrim) == 10)
+        & ~m.between(1, 12)
+    )
+    f1 = F.coalesce(fast_ok, F.lit(False))
+    f2 = F.coalesce(repair_ok, F.lit(False)) & ~f1
+    f3 = F.coalesce(null_ok, F.lit(False)) & ~f1 & ~f2
+
+    def _norm(yy: F.Column) -> F.Column:
+        return F.concat(
+            F.lpad(d.cast("string"), 2, "0"), F.lit("-"),
+            F.lpad(m.cast("string"), 2, "0"), F.lit("-"),
+            F.lpad(yy.cast("string"), 4, "0"))
+
+    p2 = p1.select(
+        "raw",
+        (f1 | f2 | f3).alias("fast_done"),
+        F.when(f1, _norm(y)).when(f2, _norm(yr_rep)).alias("fast_norm"),
+        F.when(f1, F.lit(0.97))
+        .when(f2, F.lit(0.97) * F.lit(0.80)).alias("fast_conf"),
+        F.when(f1, F.lit("strict_dd_mm_yyyy"))
+        .when(f2, F.lit("year_repair_strict_dd_mm_yyyy"))
+        .alias("fast_meth"),
+    )
+    out = p2.mapInPandas(
         gen, "raw string, normalized string, confidence double, "
              "method string")
     cols = [

@@ -338,20 +338,30 @@ def q_corpus_curation(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = _docs_with_dups(spark, sf_dir)
+    # Features (lang/quality/tokens) are computed in the MAP stage,
+    # before the fingerprint window: (a) the window then shuffles ~40
+    # bytes of metadata per doc instead of the text payload (guide
+    # §2.3 — shuffle keys and metadata, not payloads), and (b) the
+    # quality filter below references a pre-window attribute, which
+    # stops predicate pushdown from re-inlining the regex-heavy quality
+    # expression into a second Filter evaluation (it was computed twice
+    # per kept row: once in the pushed filter, once in the project).
+    # Results are identical: same-fp docs normalize to the same text,
+    # and rn=1 still picks the lowest doc_id before the quality cut.
+    feats = docs.select(
+        "doc_id",
+        TA.fingerprint(F.col("text")).alias("fp"),
+        TA.lang_guess(F.col("text")).alias("lang"),
+        TA.quality_score(F.col("text")).alias("quality"),
+        TA.token_counts(F.col("text"))["ws_tokens"].alias("ws_tokens"),
+    )
     w = Window.partitionBy("fp").orderBy("doc_id")
     kept = (
-        docs.withColumn("fp", TA.fingerprint(F.col("text")))
-        .withColumn("rn", F.row_number().over(w))
+        feats.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
     return (
-        kept.select(
-            "doc_id",
-            TA.lang_guess(F.col("text")).alias("lang"),
-            TA.quality_score(F.col("text")).alias("quality"),
-            TA.token_counts(F.col("text"))["ws_tokens"].alias(
-                "ws_tokens"),
-        )
+        kept.select("doc_id", "lang", "quality", "ws_tokens")
         .filter(F.col("quality") >= 0.5)
         .orderBy("doc_id")
     )

@@ -399,14 +399,32 @@ def ktp_raw_doc(i: int):
     return spans, geom, alt_spans or None, alt_geom or None
 
 
-def ktp_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ids(spark: SparkSession, sf_dir: str,
+         repartition_ids: bool) -> DataFrame:
+    """doc_id source for the fixture builders. With ``repartition_ids``
+    the ids are hash-repartitioned on doc_id BEFORE the span
+    construction: the shuffle then carries 8-byte ids instead of built
+    span payloads, and the construction itself parallelizes even when
+    the ids file is row-group-bound (the driver testdata carries 1 row
+    group, so without this the whole fixture built on one core). At
+    100 TB the file splits provide the parallelism and the builders are
+    called without the flag."""
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if repartition_ids:
+        ids = ids.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id")
+    return ids
+
+
+def ktp_fixture_df(spark: SparkSession, sf_dir: str,
+                   repartition_ids: bool = False) -> DataFrame:
     """doc_ids from the driver's documents table → raw fixture corpus.
     Built inside mapInPandas so only ids move; the span construction is
     a stateless per-row map (at 100 TB each file split builds its own
     rows — no shuffle, no driver-side materialization)."""
     import pandas as pd
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = _ids(spark, sf_dir, repartition_ids)
 
     def gen(batches):
         for pdf in batches:
@@ -728,12 +746,13 @@ def sim_raw_doc(i: int):
     return spans, geom, alt_spans or None, alt_geom or None
 
 
-def sim_fixture_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_fixture_df(spark: SparkSession, sf_dir: str,
+                   repartition_ids: bool = False) -> DataFrame:
     """doc_ids → SIM raw fixture corpus incl. the alternative OCR view
     (the C3/C6 second pass)."""
     import pandas as pd
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = _ids(spark, sf_dir, repartition_ids)
 
     def gen(batches):
         for pdf in batches:

@@ -1046,13 +1046,24 @@ def q_approx_distinct(spark, sf_dir):
     contract: both emit the exact count and `approx_ok` must be
     true)."""
     o = _read(spark, sf_dir, "orders", fanout=True)
+    pairs = o.select("o_orderpriority", "o_custkey")
+    # exact and approx SPLIT into two aggregations: planned together,
+    # the rewrite keys the first (partial) aggregate by
+    # (priority, custkey) and materializes a ~3 KB HLL sketch buffer
+    # per PAIR (~375k sketches through the exchange at sf1.0 — the
+    # whole query cost). Split, the HLL partials are per (partition,
+    # priority) — a handful of sketches — and the exact count shuffles
+    # bare pairs. HLL merge is associative/commutative, so the sketch
+    # (and a fortiori the approx_ok bound it feeds) is unchanged.
+    exact = (
+        pairs.distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("exact_custs"))
+    )
+    approx = pairs.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"))
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_custs"),
-            F.approx_count_distinct("o_custkey", rsd=0.02)
-            .alias("approx"),
-        )
+        exact.join(F.broadcast(approx), "o_orderpriority")
         .select(
             "o_orderpriority",
             "exact_custs",

@@ -485,29 +485,77 @@ FROM embeddings GROUP BY label ORDER BY label
 def q_media_quality(spark, sf_dir):
     import pandas as pd
 
-    # compute-bound per-doc stage (JPEG codec + orientation votes):
-    # spread the ids over all cores — the 5-file source gives only 5
-    # tasks at sf0.1 (ids-only shuffle; file splits provide this at
-    # production scale)
-    df = _docs_ids_parallel(spark, sf_dir)
+    from .queries import ensure_session_conf
+
+    ensure_session_conf(spark)
+    # Every per-doc output (codec roundtrip, quality flags, orientation
+    # vote) is a pure function of a SMALL parameter tuple derived from
+    # doc_id — ≤ ~1.2k distinct tuples regardless of corpus size. Same
+    # plan-level dedup as media_geometry: distinct() the tuple (a tiny
+    # ids-only shuffle), run the JPEG codec / vote ONCE per distinct
+    # tuple spread across the cluster, broadcast the feature table back
+    # onto the doc stream (which never shuffles). The earlier form ran
+    # the full codec work per DOCUMENT (50k executions at sf1.0 for
+    # ~1.2k distinct computations).
+    #
+    # Key components (mirroring the branch structure below): m = i%8
+    # picks the regime; bgk is the background residue (i%16 flat, i%11
+    # striped); r3k the container rotation (flat regimes only); rot/pol
+    # the orientation/polarity regimes (sharp cards only); polk the
+    # extra i%6 residue only the pol==2 card uses. Irrelevant
+    # components are pinned to -1 so the tuple space stays minimal.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn("m", (F.col("doc_id") % 8).cast("int"))
+        .withColumn(
+            "bgk",
+            F.when(F.col("m") <= 2, F.col("doc_id") % 16)
+            .otherwise(F.col("doc_id") % 11).cast("int"))
+        .withColumn(
+            "r3k",
+            F.when(F.col("m") <= 2,
+                   F.expr("CAST((doc_id div 8) % 3 AS INT)"))
+            .otherwise(F.lit(-1)))
+        .withColumn(
+            "rot",
+            F.when(F.col("m") >= 5,
+                   F.expr("CAST((doc_id div 8) % 4 AS INT)"))
+            .otherwise(F.lit(-1)))
+        .withColumn(
+            "pol",
+            F.when(F.col("m") >= 5,
+                   F.expr("CAST((doc_id div 32) % 3 AS INT)"))
+            .otherwise(F.lit(-1)))
+        .withColumn(
+            "polk",
+            F.when((F.col("m") >= 5) & (F.col("pol") == 2),
+                   (F.col("doc_id") % 6).cast("int"))
+            .otherwise(F.lit(-1)))
+    )
+    keys = ["m", "bgk", "r3k", "rot", "pol", "polk"]
+    combos = (docs.select(*keys).distinct()
+              .repartition(2 * spark.sparkContext.defaultParallelism))
 
     def gen(batches):
         from .operators import image_ops as I
 
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                m = i % 8
+            for m, bgk, r3k, rot, pol, polk in zip(
+                    pdf["m"], pdf["bgk"], pdf["r3k"], pdf["rot"],
+                    pdf["pol"], pdf["polk"]):
+                m, bgk, r3k = int(m), int(bgk), int(r3k)
+                rot, pol, polk = int(rot), int(pol), int(polk)
                 if m <= 1:
-                    img = I.synth_card(bg=35 + i % 16, n_stripes=0)
+                    img = I.synth_card(bg=35 + bgk, n_stripes=0)
                 elif m == 2:
-                    img = I.synth_card(bg=225 + i % 16, n_stripes=0)
+                    img = I.synth_card(bg=225 + bgk, n_stripes=0)
                 elif m <= 4:
-                    img = I.synth_card(bg=115 + i % 11, n_stripes=8,
+                    img = I.synth_card(bg=115 + bgk, n_stripes=8,
                                        blur_k=7)
                 else:
-                    img = I.synth_card(bg=115 + i % 11, n_stripes=8)
+                    img = I.synth_card(bg=115 + bgk, n_stripes=8)
                 # container regime: flat cards rotate between the IMG1
                 # wire format, a REAL baseline JPEG, and a REAL
                 # progressive JPEG (SOF2 — spectral selection + DC/AC
@@ -516,11 +564,10 @@ def q_media_quality(spark, sf_dir):
                 # bit-exactly in BOTH JPEG processes, so the
                 # closed-form flat_mean oracle still holds on the
                 # decoded pixels.
-                r3 = (i // 8) % 3
-                if m <= 2 and r3 == 1:
+                if m <= 2 and r3k == 1:
                     fmt = "jpeg"
                     payload = I.encode_jpeg(img, quality=100)
-                elif m <= 2 and r3 == 2:
+                elif m <= 2 and r3k == 2:
                     fmt = "jpeg_prog"
                     payload = I.encode_jpeg_progressive(img, quality=100)
                 else:
@@ -535,41 +582,54 @@ def q_media_quality(spark, sf_dir):
                 # report the angle the upright vote picks to undo it
                 detected = None
                 if m >= 5:
-                    applied = 90 * ((i // 8) % 4)
+                    applied = 90 * rot
                     # polarity regimes (P8 hardening): normal dark-on-
                     # light, inverted-contrast, and low-ink cards must
-                    # all vote the same undo angle
-                    pol = (i // 32) % 3
+                    # all vote the same undo angle. bg=40+i%8 on the
+                    # inverted card: i%8 == m on this branch.
                     if pol == 1:
-                        card = I.synth_card(bg=40 + i % 8, n_stripes=5,
+                        card = I.synth_card(bg=40 + m, n_stripes=5,
                                             fg=230, header=True)
                     elif pol == 2:
-                        bg2 = 121 + i % 6
+                        bg2 = 121 + polk
                         card = I.synth_card(bg=bg2, n_stripes=5,
                                             fg=bg2 - 12, header=True)
                     else:
-                        card = I.synth_card(bg=115 + i % 11, n_stripes=5,
+                        card = I.synth_card(bg=115 + bgk, n_stripes=5,
                                             header=True)
                     detected = I.orient_vote(I.rotate90(card, applied))
                 rows.append((
-                    i, fmt, dec.shape[0], dec.shape[1],
+                    m, bgk, r3k, rot, pol, polk,
+                    fmt, dec.shape[0], dec.shape[1],
                     fl["is_blurry"], fl["is_very_blurry"], fl["is_dark"],
                     fl["is_overexposed"], fl["is_low_contrast"],
                     int(round(mean)) if m <= 2 else None,
                     detected,
                 ))
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "fmt", "h", "w", "is_blurry", "is_very_blurry",
+                "m", "bgk", "r3k", "rot", "pol", "polk",
+                "fmt", "h", "w", "is_blurry", "is_very_blurry",
                 "is_dark", "is_overexposed", "is_low_contrast",
                 "flat_mean", "detected_rot"])
 
-    return df.mapInPandas(
+    feat = combos.mapInPandas(
         gen,
-        "doc_id long, fmt string, h int, w int, is_blurry boolean, "
+        "m int, bgk int, r3k int, rot int, pol int, polk int, "
+        "fmt string, h int, w int, is_blurry boolean, "
         "is_very_blurry boolean, is_dark boolean, "
         "is_overexposed boolean, is_low_contrast boolean, "
         "flat_mean int, detected_rot int",
-    ).orderBy("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(feat), keys)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "fmt", "h", "w", "is_blurry", "is_very_blurry", "is_dark",
+            "is_overexposed", "is_low_contrast", "flat_mean",
+            "detected_rot",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

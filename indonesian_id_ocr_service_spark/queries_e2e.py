@@ -22,11 +22,14 @@ def q_ktp_extraction_e2e(spark, sf_dir):
     from .queries import ensure_session_conf
 
     ensure_session_conf(spark)
-    # ids-only repartition for parallelism at test scale; at 100 TB the
-    # corpus file splits provide it and the pipeline itself is a
-    # zero-shuffle narrow chain
-    raw = ktp_fixture_df(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    # ids-only repartition BEFORE the fixture build: the one intentional
+    # Exchange ships 8-byte ids, the span construction and the kernel
+    # both run fully parallel, and the built spans never shuffle (the
+    # old post-build repartition moved the span payloads AND left the
+    # build on the ids file's single row group). At 100 TB the corpus
+    # file splits provide the parallelism; the pipeline itself stays a
+    # zero-shuffle narrow chain.
+    raw = ktp_fixture_df(spark, sf_dir, repartition_ids=True)
     out = run_pipeline(raw)
     return out.select(
         "doc_id", F.explode("out_spans").alias("s")
@@ -48,8 +51,8 @@ def q_sim_extraction_e2e(spark, sf_dir):
     from .queries import ensure_session_conf
 
     ensure_session_conf(spark)
-    raw = sim_fixture_df(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    # same ids-only pre-build repartition as the KTP e2e query
+    raw = sim_fixture_df(spark, sf_dir, repartition_ids=True)
     out = run_pipeline(raw)
     return out.select(
         "doc_id", F.explode("out_spans").alias("s")

@@ -93,15 +93,17 @@ def test_dedup_verified_reuses_candidate_pairs(spark):
                 "banding kernel executes outside the cached subtree"
 
 
-def test_minhash_lsh_single_shuffle_side(spark):
-    """The only shuffles in LSH dedup are the band self-join + distinct
-    — the signature computation itself is per-row (no Exchange before
-    the join inputs)."""
+def test_minhash_lsh_single_kernel_no_join(spark):
+    """LSH pairing is groupBy (band, key) → in-bucket pair explosion:
+    the signature kernel must appear exactly ONCE in the plan (the old
+    self-join form executed it once per join side), no join operator
+    remains, and the band rows shuffle through the grouping + the final
+    distinct only."""
     df = QD.q_minhash_lsh(spark, SF)
     plan = audit.simple_plan(df)
-    # signatures feed the join from a plain scan+project, not from an
-    # aggregation: no partial-agg Exchange before the join keys exist
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "HashAggregate" in plan and "Generate" in plan, plan[:2000]
 
 
 def test_rollup_single_expand_pass(spark):

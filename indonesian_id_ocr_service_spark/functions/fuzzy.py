@@ -232,7 +232,7 @@ def _partial_upper_bound(qc: dict, qlen: int, c: str) -> float:
     LCS ≤ len(w), so ratio = 200·LCS/(len(s)+len(w)) is maximized at
     len(w) = min(C, len(s)):  bound = 200·C'/(len(s)+C'),
     C' = min(C, len(s)). Holds for truncated edge windows too."""
-    cc = _char_counts(c)
+    cc = _choice_char_counts(c)
     common = 0
     if len(qc) <= len(cc):
         for ch, n in qc.items():
@@ -285,6 +285,25 @@ def _token_set_ratio_floored(a: str, b: str, floor: int) -> int:
     return max(best, ratio(sect_a, sect_b))
 
 
+@lru_cache(maxsize=256)
+def _prepped_choices(choices: tuple) -> tuple:
+    """(raw, full_process(raw)) per choice — extract_one call sites
+    loop fixed vocabularies (labels, canonical field values), so the
+    per-call re-processing of every choice (one regex sub each) is
+    pure repeat work. Only consulted for tuples of length ≥ 4: tiny
+    ad-hoc tuples (e.g. single-span probes) are unique per call and
+    would churn the cache."""
+    return tuple((ch, full_process(ch)) for ch in choices)
+
+
+@lru_cache(maxsize=65536)
+def _choice_char_counts(c: str) -> dict:
+    """Choice-side char multiset for the partial_ratio upper bound —
+    choices repeat across calls; treat the returned dict as
+    read-only."""
+    return _char_counts(c)
+
+
 def extract_one(query: str | None, choices, scorer=wratio,
                 process_inputs=True, score_cutoff: int | None = None):
     """thefuzz's ``process.extractOne``: best (choice, score) by scorer.
@@ -314,8 +333,13 @@ def extract_one(query: str | None, choices, scorer=wratio,
     qc = _char_counts(q) if prune else None
     best_choice, best_score = None, -1
     floor0 = -1 if score_cutoff is None else score_cutoff - 1
-    for choice in choices:
-        c = full_process(choice) if process_inputs else str(choice)
+    if process_inputs and isinstance(choices, tuple) and len(choices) >= 4:
+        pairs = _prepped_choices(choices)
+    else:
+        pairs = (
+            (ch, full_process(ch) if process_inputs else str(ch))
+            for ch in choices)
+    for choice, c in pairs:
         if not c:
             continue
         floor = best_score if best_score > floor0 else floor0

@@ -85,15 +85,19 @@ def _label_match(text: str) -> tuple[str, int]:
 
 
 @lru_cache(maxsize=262144)
-def _classify_span(text_raw: str) -> str | None:
-    """K2: canonical field when this span is a key label, else None."""
+def _classify_span(text_raw: str) -> tuple[str, int] | None:
+    """K2: (canonical field, label score) when this span is a key
+    label, else None. Score is -1 for truncated-map hits (no fuzzy
+    score exists). ``_label_match`` is keyed on the stripped UPPER
+    text so K1's score pass and this lookup share one cache entry
+    (full_process lowercases, so the result is unchanged)."""
     upper = text_raw.upper()
     for bad, good in _TRUNC:
         if bad in upper:
-            return good
-    best, score = _label_match(text_raw)
+            return good, -1
+    best, score = _label_match(upper)
     if score > 80:
-        return best
+        return best, score
     return None
 
 
@@ -112,8 +116,12 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
     yc = (y0 + y1) / 2.0
 
     # ---- K1: spatial-outlier band from key-label y positions ----------
+    # keyed strip().upper() to share the _label_match cache entry with
+    # _classify_span (full_process normalizes case/whitespace, so the
+    # score is unchanged)
     label_scores = np.fromiter(
-        (_label_match(t.upper())[1] for t in texts), dtype=np.int64, count=n
+        (_label_match(t.strip().upper())[1] for t in texts),
+        dtype=np.int64, count=n
     )
     key_mask = label_scores > 85
     if key_mask.any():
@@ -127,13 +135,14 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
 
     # ---- K2: key/value role assignment --------------------------------
     roles: dict[int, str] = {}
+    role_scores: dict[int, int] = {}
     for i in idx:
         t = texts[i].strip()
         if len(t) < 2 and t not in (":", "-"):
             continue
-        field = _classify_span(t)
-        if field is not None:
-            roles[i] = field
+        hit = _classify_span(t)
+        if hit is not None:
+            roles[i], role_scores[i] = hit
     key_idx = sorted(roles, key=lambda i: yc[i])
     key_set = set(key_idx)
     val_idx = [i for i in idx if i not in key_set]
@@ -169,9 +178,15 @@ def _extract_one_doc(texts: list[str], y0: np.ndarray, y1: np.ndarray,
                 meth[field] = "header_strip"
                 continue
 
-        # K4: inline extraction after ':' or positional suffix
-        _, part_score = fuzzy.extract_one(
-            field, (text,), scorer=fuzzy.partial_ratio)
+        # K4: inline extraction after ':' or positional suffix.
+        # partial_ratio is symmetric, so for fuzzy-classified keys the
+        # score equals the one _label_match already computed (exact —
+        # it cleared the 81 cutoff); only truncated-map hits (-1)
+        # still need the probe.
+        part_score = role_scores[ki]
+        if part_score < 0:
+            _, part_score = fuzzy.extract_one(
+                field, (text,), scorer=fuzzy.partial_ratio)
         inline = ""
         if part_score > 70:
             pieces = re.split(r"[:]", text, maxsplit=1)

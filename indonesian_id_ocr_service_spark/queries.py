@@ -284,21 +284,12 @@ def _date_query(df: DataFrame, raw: F.Column,
         from .functions.pandas_dates import normalize_date_frame
 
         for pdf in batches:
-            fast = pdf["fast_done"].astype(bool)
-            norm = pdf["fast_norm"].astype(object).where(fast, None)
-            conf = pdf["fast_conf"].astype(float)
-            meth = pdf["fast_meth"].astype(object).where(fast, None)
-            rest = ~fast
-            if rest.any():
-                res = normalize_date_frame(pdf.loc[rest, "raw"])
-                norm.loc[rest] = res["normalized"]
-                conf.loc[rest] = res["confidence"]
-                meth.loc[rest] = res["method"]
+            res = normalize_date_frame(pdf["raw"])
             yield pd.DataFrame({
                 "raw": pdf["raw"],
-                "normalized": norm,
-                "confidence": conf,
-                "method": meth,
+                "normalized": res["normalized"],
+                "confidence": res["confidence"],
+                "method": res["method"],
             })
 
     pre = df.select(raw.alias("raw"))
@@ -371,10 +362,24 @@ def _date_query(df: DataFrame, raw: F.Column,
         F.when(f1, F.lit("strict_dd_mm_yyyy"))
         .when(f2, F.lit("year_repair_strict_dd_mm_yyyy"))
         .alias("fast_meth"),
+    ).persist()
+    # The persist is the pushdown barrier that makes a filter+union
+    # split safe: branch filters read the STORED fast_done column from
+    # the cached batches, so fast rows never enter the Python stage at
+    # all (only residue pays the Arrow roundtrip), and PushDownPredicate
+    # cannot re-inline the branch conditions below the fan-out exchange
+    # (the measured 100x blowup documented above). Same in-query persist
+    # pattern as dedup_verified; the bench clears the cache per sample.
+    fast_rows = p2.filter(F.col("fast_done")).select(
+        F.col("raw"),
+        F.col("fast_norm").alias("normalized"),
+        F.col("fast_conf").alias("confidence"),
+        F.col("fast_meth").alias("method"),
     )
-    out = p2.mapInPandas(
+    residue = p2.filter(~F.col("fast_done")).select("raw").mapInPandas(
         gen, "raw string, normalized string, confidence double, "
              "method string")
+    out = fast_rows.unionByName(residue)
     cols = [
         F.col("raw"),
         F.col("normalized"),

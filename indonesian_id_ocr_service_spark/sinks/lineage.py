@@ -75,6 +75,11 @@ def extraction_metrics(fields_df: DataFrame) -> DataFrame:
     # extractor stage carried it through
     if "field_methods" in fields_df.columns:
         cols.append(F.col("field_methods"))
+    # commit-unit tag: when the caller's frame carries the bucket it
+    # came from, keep it — write_metrics uses it to make the metrics
+    # write idempotent per bucket (overwrite instead of append)
+    if "bucket" in fields_df.columns:
+        cols.append(F.col("bucket"))
     return fields_df.select(*cols)
 
 
@@ -179,15 +184,24 @@ class ExtractionRun:
             .groupBy("bucket").agg(F.count("*").alias("n"))
             .collect()
         }
+        # Metrics BEFORE the lineage commit rows, so a crash in between
+        # is retried (re-run reprocesses the bucket) instead of lost
+        # forever (resume would skip it). Replay cannot duplicate
+        # metrics when the frame carries its bucket: write_metrics then
+        # partitions on it and dynamically OVERWRITES the same bucket
+        # partitions. Metric frames without a bucket column (e.g. a
+        # custom metrics_fn that drops it) still append — for those the
+        # crash window trades a possible duplicate for the old silent
+        # loss.
+        if metrics_fn is not None:
+            fresh = (spark.read.parquet(self.results_dir)
+                     .filter(F.col("bucket").isin(todo)))
+            self.write_metrics(metrics_fn(fresh), log_month=log_month)
         total_rows = 0
         for b in todo:
             rows = int(counts.get(b, 0))
             self._append_lineage(b, "committed", rows, started)
             total_rows += rows
-        if metrics_fn is not None:
-            fresh = (spark.read.parquet(self.results_dir)
-                     .filter(F.col("bucket").isin(todo)))
-            self.write_metrics(metrics_fn(fresh), log_month=log_month)
         return {"buckets_run": len(todo), "buckets_skipped": skipped,
                 "rows": total_rows}
 
@@ -212,12 +226,21 @@ class ExtractionRun:
             log_month = time.strftime("%Y-%m", time.gmtime())
         if "nomor" in fields_df.columns:
             fields_df = extraction_metrics(fields_df)
-        (fields_df
-         .withColumn("run_id", F.lit(self.run_id))
-         .withColumn("log_month", F.lit(log_month))
-         .write.mode("append")
-         .partitionBy("log_month", "run_id")
-         .parquet(self.metrics_dir))
+        w = (fields_df
+             .withColumn("run_id", F.lit(self.run_id))
+             .withColumn("log_month", F.lit(log_month))
+             .write)
+        if "bucket" in fields_df.columns:
+            # idempotent per commit unit: a replayed bucket overwrites
+            # its own metrics partition instead of appending duplicates
+            (w.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("log_month", "run_id", "bucket")
+             .parquet(self.metrics_dir))
+        else:
+            (w.mode("append")
+             .partitionBy("log_month", "run_id")
+             .parquet(self.metrics_dir))
         return log_month
 
 
@@ -229,12 +252,29 @@ class StreamingExtractionRun(ExtractionRun):
 
     ``foreachBatch`` re-delivers a batch after a crash (its own sink
     commit is not transactional with the checkpoint); idempotency
-    comes from the same lineage log — a replayed batch_id whose commit
-    row exists is skipped, a replayed batch_id whose write died before
-    the commit row overwrites its own ``batch=N`` directory. Exactly
-    the per-bucket semantics of the batch path, so a consumer reading
-    ``results_dir`` sees each document exactly once whether it arrived
-    via `process` or the stream."""
+    comes from the same lineage-log contract — a replayed batch_id
+    whose commit row exists is skipped, a replayed batch_id whose
+    write died before the commit row overwrites its own ``batch=N``
+    directory, and a replayed batch's metrics overwrite their own
+    batch partition instead of appending duplicates.
+
+    The stream's commit log, results and metrics live under their own
+    ``stream/`` namespace inside the run dir: a stream batch id and a
+    batch-mode doc bucket are DIFFERENT keyspaces, and sharing the
+    lineage file/results dir let a committed stream batch N silently
+    mark doc bucket N done for ``process`` (and mixed ``bucket=N`` /
+    ``batch=N`` partition names broke reading the results dir). A
+    consumer reads each mode's own results dir; one run dir may serve
+    both modes without the logs interfering."""
+
+    def __init__(self, base_dir: str, run_id: str, n_buckets: int = 64):
+        super().__init__(base_dir, run_id, n_buckets)
+        stream_base = os.path.join(base_dir, "stream")
+        self.results_dir = os.path.join(stream_base, "results")
+        self.metrics_dir = os.path.join(stream_base, "metrics")
+        self.lineage_path = os.path.join(stream_base, "lineage.jsonl")
+        os.makedirs(self.results_dir, exist_ok=True)
+        os.makedirs(self.metrics_dir, exist_ok=True)
 
     def process_stream_batch(self, batch_df: DataFrame, batch_id: int,
                              pipeline_fn, metrics_fn=None,
@@ -251,8 +291,11 @@ class StreamingExtractionRun(ExtractionRun):
         spark = batch_df.sparkSession
         rows = spark.read.parquet(out_dir).count()
         if metrics_fn is not None:
+            # tag with the commit unit so write_metrics overwrites the
+            # batch's own partition on replay (exactly-once metrics)
             self.write_metrics(
-                metrics_fn(spark.read.parquet(out_dir)),
+                metrics_fn(spark.read.parquet(out_dir))
+                .withColumn("bucket", F.lit(batch_id)),
                 log_month=log_month)
         self._append_lineage(batch_id, "committed", rows, started)
         return {"batch_id": batch_id, "skipped": False, "rows": rows}

@@ -75,7 +75,14 @@ def parse_args(argv):
     src.add_argument("--input", help="parquet dir of the span corpus "
                      "(doc_id, spans, span_geom, span_conf, spans_alt, "
                      "alt_geom)")
-    src.add_argument("--synth", type=int, metavar="N",
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                f"--synth needs N >= 1, got {n}")
+        return n
+
+    src.add_argument("--synth", type=_positive_int, metavar="N",
                      help="generate an N-doc deterministic corpus on "
                      "the executors instead of reading parquet "
                      "(tests/bench; no external data)")
@@ -111,7 +118,7 @@ def main(argv=None) -> int:
     from indonesian_id_ocr_service_spark.sinks.lineage import ExtractionRun
 
     ensure_session_conf(spark)
-    if args.synth:
+    if args.synth is not None:
         from indonesian_id_ocr_service_spark.corpus.generator import corpus_df
         src = corpus_df(spark, args.synth, seed=args.seed)
     else:

@@ -240,7 +240,8 @@ _STRICT_SEP = r"^(\d{1,2})[-/. ](\d{1,2})[-/. ](\d{4})$"
 
 
 def _date_query(df: DataFrame, raw: F.Column,
-                with_method: bool = True) -> DataFrame:
+                with_method: bool = True,
+                n_rows: int | None = None) -> DataFrame:
     """normalize_date over a raw column via the vectorized Arrow kernel
     (functions/pandas_dates.py — the pipeline's scale path; the JVM
     expression forms in dates.py / dates_df.py are parity-tested
@@ -290,6 +291,29 @@ def _date_query(df: DataFrame, raw: F.Column,
                 "normalized": res["normalized"],
                 "confidence": res["confidence"],
                 "method": res["method"],
+            })
+
+    def gen_mixed(batches):
+        import pandas as pd
+
+        from .functions.pandas_dates import normalize_date_frame
+
+        for pdf in batches:
+            fast = pdf["fast_done"].astype(bool)
+            norm = pdf["fast_norm"].astype(object).where(fast, None)
+            conf = pdf["fast_conf"].astype(float)
+            meth = pdf["fast_meth"].astype(object).where(fast, None)
+            rest = ~fast
+            if rest.any():
+                res = normalize_date_frame(pdf.loc[rest, "raw"])
+                norm.loc[rest] = res["normalized"]
+                conf.loc[rest] = res["confidence"]
+                meth.loc[rest] = res["method"]
+            yield pd.DataFrame({
+                "raw": pdf["raw"],
+                "normalized": norm,
+                "confidence": conf,
+                "method": meth,
             })
 
     pre = df.select(raw.alias("raw"))
@@ -362,24 +386,36 @@ def _date_query(df: DataFrame, raw: F.Column,
         F.when(f1, F.lit("strict_dd_mm_yyyy"))
         .when(f2, F.lit("year_repair_strict_dd_mm_yyyy"))
         .alias("fast_meth"),
-    ).persist()
-    # The persist is the pushdown barrier that makes a filter+union
-    # split safe: branch filters read the STORED fast_done column from
-    # the cached batches, so fast rows never enter the Python stage at
-    # all (only residue pays the Arrow roundtrip), and PushDownPredicate
-    # cannot re-inline the branch conditions below the fan-out exchange
-    # (the measured 100x blowup documented above). Same in-query persist
-    # pattern as dedup_verified; the bench clears the cache per sample.
-    fast_rows = p2.filter(F.col("fast_done")).select(
-        F.col("raw"),
-        F.col("fast_norm").alias("normalized"),
-        F.col("fast_conf").alias("confidence"),
-        F.col("fast_meth").alias("method"),
     )
-    residue = p2.filter(~F.col("fast_done")).select("raw").mapInPandas(
-        gen, "raw string, normalized string, confidence double, "
-             "method string")
-    out = fast_rows.unionByName(residue)
+    schema = ("raw string, normalized string, confidence double, "
+              "method string")
+    if n_rows is not None and n_rows < 400_000:
+        # small inputs: the persist-split's fixed costs (cache
+        # materialization + three plan branches) outweigh the Arrow
+        # transfer it saves — ship the fast-result columns with the
+        # batch and let the kernel fill only the residue rows.
+        # Size comes from the parquet FOOTER, so the switch is
+        # data-adaptive, not a local[N] constant.
+        out = p2.mapInPandas(gen_mixed, schema)
+    else:
+        p2 = p2.persist()
+        # The persist is the pushdown barrier that makes a filter+union
+        # split safe: branch filters read the STORED fast_done column
+        # from the cached batches, so fast rows never enter the Python
+        # stage at all (only residue pays the Arrow roundtrip), and
+        # PushDownPredicate cannot re-inline the branch conditions below
+        # the fan-out exchange (the measured 100x blowup documented
+        # above). Same in-query persist pattern as dedup_verified; the
+        # bench clears the cache per sample.
+        fast_rows = p2.filter(F.col("fast_done")).select(
+            F.col("raw"),
+            F.col("fast_norm").alias("normalized"),
+            F.col("fast_conf").alias("confidence"),
+            F.col("fast_meth").alias("method"),
+        )
+        residue = (p2.filter(~F.col("fast_done")).select("raw")
+                   .mapInPandas(gen, schema))
+        out = fast_rows.unionByName(residue)
     cols = [
         F.col("raw"),
         F.col("normalized"),
@@ -393,7 +429,8 @@ def _date_query(df: DataFrame, raw: F.Column,
 def q_date_standard(spark, sf_dir):
     df = _read(spark, sf_dir, "orders", fanout=True)
     raw = F.replace(_date_str(), F.lit("-"), F.lit(" "))
-    return _date_query(df, raw)
+    return _date_query(df, raw,
+                       n_rows=_footer_meta(f"{sf_dir}/orders.parquet")[0])
 
 
 SQL_DATE_STANDARD = """
@@ -435,7 +472,8 @@ def q_date_3digit_year(spark, sf_dir):
         F.year("o_orderdate") < 1999)
     raw = F.concat(F.substring(_date_str(), 1, 6),
                    F.substring(_date_str(), 8, 3))
-    return _date_query(df, raw)
+    return _date_query(df, raw,
+                       n_rows=_footer_meta(f"{sf_dir}/orders.parquet")[0])
 
 
 SQL_DATE_3DIGIT = """
@@ -476,7 +514,8 @@ def q_year_repair(spark, sf_dir):
     df = _read(spark, sf_dir, "orders", fanout=True).filter(
         F.year("o_orderdate") < 1999)
     raw = F.replace(_date_str(), F.lit("-19"), F.lit("-13"))
-    return _date_query(df, raw)
+    return _date_query(df, raw,
+                       n_rows=_footer_meta(f"{sf_dir}/orders.parquet")[0])
 
 
 SQL_YEAR_REPAIR = """
@@ -523,7 +562,8 @@ def q_date_month_validation(spark, sf_dir):
     d ≤ 12 simultaneously — so the month gate is what decides here.)"""
     df = _read(spark, sf_dir, "orders", fanout=True)
     raw = F.date_format(F.col("o_orderdate"), "MM-dd-yyyy")
-    return _date_query(df, raw, with_method=False)
+    return _date_query(df, raw, with_method=False,
+                       n_rows=_footer_meta(f"{sf_dir}/orders.parquet")[0])
 
 
 SQL_DATE_MONTH_VALIDATION = """

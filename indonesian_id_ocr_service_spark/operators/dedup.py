@@ -86,6 +86,14 @@ def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
     def gen(batches):
         import hashlib
 
+        # hash_j(s) = md5("j:" || s): the j-prefix states are fixed, so
+        # seed them once and .copy().update(s) per shingle. The min is
+        # taken on DIGEST BYTES — hex is a monotone byte-wise encoding
+        # of the digest, so bytes order == hex order and only the 12
+        # per-doc winners pay hexdigest (was: every hash of every
+        # shingle).
+        seeds = [hashlib.md5(f"{j}:".encode())
+                 for j in range(n_hashes)]
         cache: dict = {}
         for pdf in batches:
             # bound the per-task memo: unique shingles grow with every
@@ -108,11 +116,15 @@ def minhash_band_rows(df: DataFrame, id_col: str = "doc_id",
                 for s in shingles:
                     v = cache.get(s)
                     if v is None:
-                        v = [hashlib.md5(f"{j}:{s}".encode()).hexdigest()
-                             for j in range(n_hashes)]
+                        sb = s.encode()
+                        v = []
+                        for m in seeds:
+                            h = m.copy()
+                            h.update(sb)
+                            v.append(h.digest())
                         cache[s] = v
                     rows.append(v)
-                sig = [min(r[j] for r in rows)
+                sig = [min(r[j] for r in rows).hex()
                        for j in range(n_hashes)]
                 for b in range(n_bands):
                     docs.append(doc)
@@ -217,7 +229,6 @@ def simhash32_kernel(df: DataFrame, id_col: str = "doc_id",
     def gen(batches):
         import hashlib
 
-        hexset = set("89abcdef")
         cache: dict = {}
         for pdf in batches:
             # bounded memo — same rationale as minhash_band_rows
@@ -229,10 +240,17 @@ def simhash32_kernel(df: DataFrame, id_col: str = "doc_id",
                 for tk in (txt or "").split(" "):
                     s = cache.get(tk)
                     if s is None:
-                        h = hashlib.md5(tk.encode()).hexdigest()
-                        s = np.fromiter(
-                            (1 if c in hexset else -1 for c in h),
-                            dtype=np.int64, count=32)
+                        # nibble p of the hex digest is >= '8' exactly
+                        # when its 4-bit value has the high bit set —
+                        # read the sign vector straight off the digest
+                        # bytes instead of scanning 32 hex chars
+                        b = np.frombuffer(
+                            hashlib.md5(tk.encode()).digest(),
+                            dtype=np.uint8)
+                        nib = np.empty(32, dtype=np.int64)
+                        nib[0::2] = b >> 4
+                        nib[1::2] = b & 15
+                        s = np.where(nib >= 8, 1, -1)
                         cache[tk] = s
                     votes += s
                 sims.append(

@@ -1209,7 +1209,10 @@ def q_fuzzy_canonical(spark, sf_dir):
     from .functions import pandas_tiers as PT
 
     PT._init_udfs()
-    df = _read(spark, sf_dir, "customer", fanout=True)
+    # fanout=False: the fixture is 15-30 short strings cycled over
+    # customer; per-task pandas-UDF init + the extra exchange cost more
+    # than the fuzzy scoring saves (A/B at 1x and 10x: off wins ~0.4 s)
+    df = _read(spark, sf_dir, "customer")
     field, raw = _case_arrays(_FUZZY_CANON_CASES)
     df = df.select(field.alias("field"), raw.alias("raw"))
     pek = PT.fuzzy_normalize_pekerjaan(
@@ -1291,7 +1294,8 @@ def q_enum_place_correction(spark, sf_dir):
     per-field."""
     from .functions import pandas_tiers as PT
 
-    df = _read(spark, sf_dir, "customer", fanout=True)
+    # fanout=False: same trade as fuzzy_canonical (measured)
+    df = _read(spark, sf_dir, "customer")
     field, raw = _case_arrays(_ENUM_PLACE_CASES)
     df = df.select(field.alias("field"), raw.alias("raw"))
     corr = None

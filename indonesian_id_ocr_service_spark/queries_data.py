@@ -17,27 +17,36 @@ from .operators import media as MD
 from .operators import similarity as SIM
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str,
+          fanout: bool = True) -> DataFrame:
     from .queries import ensure_session_conf, scan_fanout
 
     ensure_session_conf(spark)
     path = f"{sf_dir}/documents.parquet"
-    # per-row text work (shingling/regex/token kernels) dominates every
-    # consumer; fan out when the file's row groups can't fill the cores
-    return scan_fanout(spark.read.parquet(path), path)
+    # per-row text work (shingling/regex/token kernels) dominates most
+    # consumers; fan out when the file's row groups can't fill the
+    # cores. Consumers whose per-row work is lighter than the text
+    # shuffle (exact dedup: normalize+md5 only) opt out.
+    df = spark.read.parquet(path)
+    return scan_fanout(df, path) if fanout else df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str,
+         fanout: bool = True) -> DataFrame:
     from .queries import ensure_session_conf, scan_fanout
 
     ensure_session_conf(spark)
     path = f"{sf_dir}/embeddings.parquet"
     # 64-dim dot products / hyperplane projections per row dominate
-    return scan_fanout(spark.read.parquet(path), path)
+    # most consumers; IVF (already shuffle-bound by its cell joins)
+    # opts out — measured slower with the extra exchange at both sizes
+    df = spark.read.parquet(path)
+    return scan_fanout(df, path) if fanout else df
 
 
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _docs(spark, sf_dir).select("doc_id", "text")
+def _docs_with_dups(spark: SparkSession, sf_dir: str,
+                    fanout: bool = True) -> DataFrame:
+    base = _docs(spark, sf_dir, fanout=fanout).select("doc_id", "text")
     exact = (
         base.filter(F.col("doc_id") % 7 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -83,7 +92,11 @@ _SHINGLES_SQL = f"""
 
 
 def q_dedup_exact(spark, sf_dir):
-    return DD.exact_dedup_stats(_docs_with_dups(spark, sf_dir))
+    # fanout=False: the only per-row work before the (16-byte-hash)
+    # groupBy is normalize+md5 — cheaper than round-robin-shuffling the
+    # full text (A/B at 1x and 10x: 1.76 -> 0.80 s at 10x)
+    return DD.exact_dedup_stats(_docs_with_dups(spark, sf_dir,
+                                                fanout=False))
 
 
 SQL_DEDUP_EXACT = f"""
@@ -1022,7 +1035,10 @@ WHERE rn <= 3 ORDER BY query_id, rn
 
 
 def q_ann_ivf(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
+    # fanout=False: IVF is bounded by its cell-assignment shuffle and
+    # probe joins, not the per-row kernel; the extra exchange measured
+    # slower at 1x and 10x
+    emb = _emb(spark, sf_dir, fanout=False)
     queries = emb.filter(F.col("vec_id") < 5)
     # n_probe=8 of 16 cells: the testdata embeddings are deliberately
     # unclustered (max pairwise cosine 0.51), so nearest neighbours are

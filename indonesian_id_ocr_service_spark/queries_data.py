@@ -433,7 +433,10 @@ ORDER BY doc_id
 
 
 def q_media_features(spark, sf_dir):
-    df = _docs(spark, sf_dir).select(
+    # fanout=False: header sniff + byte stats per payload are cheaper
+    # than the round-robin text shuffle (order-alternating A/B, 1x and
+    # 10x: off wins ~0.3-0.4 s at both)
+    df = _docs(spark, sf_dir, fanout=False).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return MD.extract_media_features(df).select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -1090,7 +1090,11 @@ def q_approx_distinct(spark, sf_dir):
     registers across engines, but it can demand the accuracy
     contract: both emit the exact count and `approx_ok` must be
     true)."""
-    o = _read(spark, sf_dir, "orders", fanout=True)
+    # no fan-out: both aggregations shuffle on their own group keys and
+    # their partial-agg (per-row) work is trivial, so the round-robin
+    # exchange of 1.5M pairs was pure overhead (order-alternating A/B:
+    # off wins 0.7 s at 1x and 1.4 s at 10x)
+    o = _read(spark, sf_dir, "orders")
     pairs = o.select("o_orderpriority", "o_custkey")
     # exact and approx SPLIT into two aggregations: planned together,
     # the rewrite keys the first (partial) aggregate by
